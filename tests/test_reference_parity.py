@@ -1,0 +1,114 @@
+"""Golden parity tests against the read-only torch reference implementation.
+
+These construct the reference ``ToneForCTC`` with random weights, convert the
+state_dict with ``tone_tpu.checkpoint.convert_torch_state_dict``, and assert
+output equality.  Skipped automatically when torch or the reference tree is
+unavailable.
+"""
+
+import numpy as np
+import pytest
+
+from _reference_compat import install_reference
+
+if not install_reference():
+    pytest.skip("torch reference not available", allow_module_level=True)
+
+import torch  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tone_tpu.checkpoint import convert_torch_state_dict  # noqa: E402
+from tone_tpu.config import ToneConfig  # noqa: E402
+from tone_tpu.core.model import (  # noqa: E402
+    apply_offline,
+    apply_streaming,
+    init_streaming_state,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    from tone.training.model_wrapper import ToneConfig as RefConfig, ToneForCTC
+
+    torch.manual_seed(0)
+    return ToneForCTC(RefConfig()).eval()
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ToneConfig(compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def variables(ref_model, cfg):
+    return convert_torch_state_dict(ref_model.tone.state_dict(), cfg)
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(1)
+    return rng.integers(-25000, 25000, (2, 2400 * 4)).astype(np.int32)
+
+
+def test_offline_parity(ref_model, cfg, variables, audio):
+    lens = np.array([2400 * 4, 2400 * 3], dtype=np.int64)
+    with torch.no_grad():
+        lp_ref, len_ref = ref_model.tone(
+            torch.from_numpy(audio).float() / 32767.0, torch.from_numpy(lens))
+    lp_jax, len_jax, _ = apply_offline(variables, cfg, jnp.asarray(audio), jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(len_jax), len_ref.numpy())
+    np.testing.assert_allclose(np.asarray(lp_jax), lp_ref.numpy(), atol=1e-4)
+
+
+def test_streaming_parity(ref_model, cfg, variables, audio):
+    """The reference streaming path quantizes features to fp16
+    (tone/nn/model.py:154,:165) while ours computes fp32, so tolerance here is
+    the fp16 noise floor; exact agreement is asserted via the offline path +
+    our own streaming==offline test."""
+    states = ref_model.tone.get_initial_state(batch_size=2, dtype=torch.float32,
+                                              target="export")
+    state_j = init_streaming_state(cfg, 2)
+    with torch.no_grad():
+        for i in range(4):
+            chunk = audio[:, i * 2400:(i + 1) * 2400]
+            out = ref_model.tone.forward_for_export(
+                torch.from_numpy(chunk[:, :, None]), None, *states)
+            lp_ref, states = out[0].numpy(), out[1:]
+            lp_j, state_j = apply_streaming(variables, cfg, jnp.asarray(chunk), state_j)
+            np.testing.assert_allclose(np.asarray(lp_j), lp_ref, atol=0.15)
+
+
+def test_frontend_parity(ref_model, cfg, audio):
+    """Frontend (matmul-STFT + mel + log) vs reference FilterbankFeatures."""
+    from tone_tpu.core.frontend import get_frontend_constants, log_mel_offline
+
+    wav = torch.from_numpy(audio).float() / 32767.0
+    with torch.no_grad():
+        feats_ref, lens_ref = ref_model.tone.preprocessor(
+            wav, torch.tensor([audio.shape[1]] * 2))
+    constants = get_frontend_constants(cfg.frontend)
+    feats_jax, lens_jax = log_mel_offline(
+        jnp.asarray(audio, jnp.float32) / 32767.0,
+        jnp.asarray([audio.shape[1]] * 2), constants)
+    # reference layout (B, n_mels, T) vs ours (B, T, n_mels)
+    ref_np = feats_ref.numpy().transpose(0, 2, 1)
+    np.testing.assert_array_equal(np.asarray(lens_jax), lens_ref.numpy())
+    np.testing.assert_allclose(np.asarray(feats_jax), ref_np, atol=2e-4, rtol=1e-4)
+
+
+def test_forward_basis_parity(ref_model):
+    """Our numpy forward basis vs the reference's torch.fft-derived one."""
+    from tone_tpu.core.frontend import compute_forward_basis
+    from tone_tpu.config import FrontendConfig
+
+    ref_basis = ref_model.tone.preprocessor.forward_basis.numpy()  # (162, 1, 160)
+    ours = compute_forward_basis(FrontendConfig())  # (160, 162)
+    np.testing.assert_allclose(ours.T, ref_basis[:, 0, :], atol=1e-5)
+
+
+def test_ctc_head_blank_id(ref_model, cfg):
+    assert cfg.blank_id == 34
+    assert ref_model.config.pad_token_id == cfg.blank_id
+    assert ref_model.tone.decoder.num_classes_with_blank == cfg.vocab_size_with_blank

@@ -1,0 +1,36 @@
+"""tone_tpu — a TPU-native streaming CTC ASR framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of T-one
+(streaming Russian telephony ASR).  Public API mirrors the reference
+package surface (reference tone/__init__.py:10-23).
+"""
+
+from tone_tpu.acoustic import StreamingCTCModel
+from tone_tpu.audio import (
+    read_audio,
+    read_example_audio,
+    read_stream_audio,
+    read_stream_example_audio,
+)
+from tone_tpu.config import ToneConfig
+from tone_tpu.decoder import BeamSearchCTCDecoder, DecoderType, GreedyCTCDecoder
+from tone_tpu.pipeline import StreamingCTCPipeline, TextPhrase
+from tone_tpu.splitter import LogprobPhrase, StreamingLogprobSplitter
+from tone_tpu.version import VERSION
+
+__all__ = [
+    "BeamSearchCTCDecoder",
+    "DecoderType",
+    "GreedyCTCDecoder",
+    "LogprobPhrase",
+    "StreamingCTCModel",
+    "StreamingCTCPipeline",
+    "StreamingLogprobSplitter",
+    "TextPhrase",
+    "ToneConfig",
+    "read_audio",
+    "read_example_audio",
+    "read_stream_audio",
+    "read_stream_example_audio",
+]
+__version__ = VERSION

@@ -1,0 +1,180 @@
+"""The acoustic-model runtime: jit-compiled streaming step with state.
+
+TPU-native replacement for the reference's ONNX-runtime wrapper
+(tone/onnx_wrapper.py): instead of executing an exported graph, the model is
+a jit-compiled JAX function over a weights pytree — XLA:TPU *is* the
+inference runtime, and the "export artifact" is the checkpoint + config.
+
+Two call paths:
+
+* ``forward(audio_chunk, state)`` — strict API parity with the reference
+  ``StreamingCTCModel.forward`` (onnx_wrapper.py:84-123): numpy in/out,
+  flat (B, 219729) fp16 state blob, full input validation.  The state
+  round-trips through the host every chunk, exactly like the reference
+  (which pays that cost in onnxruntime); use it for drop-in compatibility.
+* ``forward_native(chunk_dev, state_pytree)`` — the fast path: state stays
+  device-resident as a pytree, buffers are donated, nothing crosses the
+  host but 2400 samples in and 350 logprobs out per stream.  The serving
+  runtime and pipeline use this.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tone_tpu.config import ToneConfig
+from tone_tpu.core.model import (
+    StreamingState,
+    apply_streaming,
+    init_streaming_state,
+    pack_state,
+    unpack_state,
+)
+
+if TYPE_CHECKING:
+    import numpy.typing as npt
+
+
+class StreamingCTCModel:
+    """Runs the streaming acoustic model; maintains no state itself."""
+
+    SAMPLE_RATE = 8000
+    MEAN_TIME_BIAS = 0.33  # seconds
+    AUDIO_CHUNK_SAMPLES = 2400
+    FRAME_SIZE = 0.03  # seconds
+    STATE_SIZE = 219729
+
+    def __init__(self, variables, config: ToneConfig | None = None) -> None:
+        """Create the runtime from a variables pytree ({"params", "batch_stats"})."""
+        self.config = config or ToneConfig()
+        # Commit weights to device once: host (numpy) leaves in the pytree
+        # would otherwise be re-uploaded on every jitted call.
+        self.variables = jax.device_put(variables)
+        self._jitted = {}
+
+    # -- factories ---------------------------------------------------------
+
+    @classmethod
+    def from_local(cls, model_path: str | Path, providers=None) -> "StreamingCTCModel":
+        """Load from a local artifact.
+
+        Accepts a tone_tpu checkpoint directory (config.json + orbax
+        variables), or a torch checkpoint file (.safetensors / .bin / .pt)
+        in the reference's naming, converted on the fly.
+        ``providers`` is accepted for reference API compatibility and ignored.
+        """
+        del providers
+        path = Path(model_path)
+        if path.is_dir():
+            from tone_tpu.checkpoint import load_checkpoint
+
+            variables, config = load_checkpoint(path)
+            return cls(variables, config)
+        from tone_tpu.checkpoint import load_torch_checkpoint
+
+        config = ToneConfig()
+        return cls(load_torch_checkpoint(path, config), config)
+
+    @classmethod
+    def from_hugging_face(cls) -> "StreamingCTCModel":
+        return cls.from_local(cls.download_from_hugging_face())
+
+    @classmethod
+    def download_from_hugging_face(cls) -> str:
+        """Download model weights from the Hub (reference artifact repo)."""
+        from huggingface_hub import hf_hub_download
+
+        try:
+            return hf_hub_download("t-tech/T-one", "model.safetensors")
+        except Exception:
+            return hf_hub_download("t-tech/T-one", "model.onnx")
+
+    # -- native fast path --------------------------------------------------
+
+    def init_state(self, batch_size: int) -> StreamingState:
+        return init_streaming_state(self.config, batch_size)
+
+    def _step_fn(self, batch_size: int):
+        """Jitted streaming step for a fixed batch size (cached).
+
+        The state argument is donated: XLA updates the state arena in place,
+        so per-step HBM traffic is the state read+write only, with no copies
+        and no host round-trips.
+        """
+        fn = self._jitted.get(batch_size)
+        if fn is None:
+            config = self.config
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def step(variables, chunk, state):
+                return apply_streaming(variables, config, chunk, state)
+
+            fn = step
+            self._jitted[batch_size] = fn
+        return fn
+
+    def forward_native(
+        self, audio_chunk: jnp.ndarray, state: StreamingState | None = None,
+    ) -> tuple[jnp.ndarray, StreamingState]:
+        """Device-resident streaming step.
+
+        Args:
+            audio_chunk: (B, 2400) int32/float array (host or device).
+            state: previous state pytree, or None to start streams.
+
+        Returns:
+            (logprobs (B, 10, 35) fp32 on device, next state on device).
+        """
+        b = audio_chunk.shape[0]
+        if state is None:
+            state = self.init_state(b)
+        return self._step_fn(b)(self.variables, audio_chunk, state)
+
+    # -- reference-compatible path ----------------------------------------
+
+    def forward(
+        self,
+        audio_chunk: "npt.NDArray[np.int32]",
+        state: "npt.NDArray[np.float16] | None" = None,
+    ) -> tuple["npt.NDArray[np.float32]", "npt.NDArray[np.float16]"]:
+        """Strict reference-parity call: (B, 2400, 1) int32 in, flat fp16
+        state blob in/out (validation mirrors onnx_wrapper.py:100-121)."""
+        if not isinstance(audio_chunk, np.ndarray):
+            raise TypeError(
+                f"Incorrect 'audio_chunk' type: expected np.ndarray, but got {type(audio_chunk)}")
+        if audio_chunk.shape[1:] != (self.AUDIO_CHUNK_SAMPLES, 1):
+            raise ValueError(
+                f"Shape of 'audio_chunk' must be (B, {self.AUDIO_CHUNK_SAMPLES}, 1), "
+                f"but got {audio_chunk.shape}")
+        if audio_chunk.dtype != np.int32:
+            raise ValueError(
+                f"Incorrect dtype of 'audio_chunk': expected np.int32, but got {audio_chunk.dtype}")
+        if audio_chunk.min() < -32768 or audio_chunk.max() > 32767:
+            raise ValueError(
+                "Samples in 'audio_chunk' must be in range [-32768; 32767], "
+                f"but it is in range [{audio_chunk.min()}; {audio_chunk.max()}]")
+        batch_size = audio_chunk.shape[0]
+        if state is None:
+            state_tree = self.init_state(batch_size)
+        else:
+            if not isinstance(state, np.ndarray):
+                raise TypeError(
+                    f"Incorrect 'state' type: expected np.ndarray or None, but got {type(state)}")
+            if state.shape != (batch_size, self.STATE_SIZE):
+                raise ValueError(
+                    f"Shape of 'state' must be ({batch_size}, {self.STATE_SIZE}), "
+                    f"but got {state.shape}")
+            if state.dtype != np.float16:
+                raise ValueError(
+                    f"Incorrect dtype of 'state': expected np.float16, but got {state.dtype}")
+            state_tree = unpack_state(state, self.config)
+
+        logprobs, next_state = self.forward_native(
+            jnp.asarray(audio_chunk[:, :, 0]), state_tree)
+        return np.asarray(logprobs), pack_state(next_state, self.config)

@@ -1,0 +1,107 @@
+"""Decoder implementations for the ASR pipeline (API parity with
+reference tone/decoder.py): greedy and beam-search CTC decoding.
+
+The beam-search decoder uses the built-in CTC prefix beam search
+(tone_tpu/decoding) with an optional word n-gram LM — replacing the
+reference's pyctcdecode + KenLM stack (tone/decoder.py:16-17, :108) with
+first-party code.  Greedy decode also exists as a batched on-TPU op
+(tone_tpu/ops/greedy.py) for the multi-stream server; this module is the
+simple host-side path.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from itertools import groupby
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from tone_tpu.config import LABELS
+
+if TYPE_CHECKING:
+    import numpy.typing as npt
+
+    from tone_tpu.decoding.lm import LanguageModel
+
+__all__ = ["LABELS", "DecoderType", "GreedyCTCDecoder", "BeamSearchCTCDecoder"]
+
+
+class DecoderType(Enum):
+    """Supported decoding strategies for CTC output."""
+
+    GREEDY = "greedy"
+    BEAM_SEARCH = "beam_search"
+
+
+def _validate_logprobs(logprobs) -> None:
+    if not isinstance(logprobs, np.ndarray):
+        raise TypeError(
+            f"Incorrect 'logprobs' type: expected np.ndarray, but got {type(logprobs)}")
+    if logprobs.shape[1:] != (len(LABELS) + 1,):
+        raise ValueError(
+            f"Shape of 'logprobs' must be (L, {len(LABELS) + 1}), but got {logprobs.shape}")
+    if logprobs.dtype != np.float32:
+        raise ValueError(
+            f"Incorrect dtype of 'logprobs': expected np.float32, but got {logprobs.dtype}")
+
+
+class GreedyCTCDecoder:
+    """Greedy CTC decoding: argmax, collapse repeats, drop blanks."""
+
+    def forward(self, logprobs: "npt.NDArray[np.float32]") -> str:
+        """Decode (L, vocab+1) logprobs to text."""
+        _validate_logprobs(logprobs)
+        tokens = logprobs.argmax(axis=-1)
+        collapsed = (token for token, _ in groupby(tokens.tolist()))
+        return "".join(LABELS[t] for t in collapsed if t < len(LABELS)).strip()
+
+
+class BeamSearchCTCDecoder:
+    """Beam-search CTC decoding with optional n-gram LM shallow fusion.
+
+    Defaults mirror the reference: alpha=0.4, beta=0.9, beam width 200
+    (tone/decoder.py:108, :133).
+    """
+
+    ALPHA = 0.4
+    BETA = 0.9
+    BEAM_WIDTH = 200
+
+    def __init__(self, lm: "LanguageModel | None" = None, *,
+                 alpha: float = ALPHA, beta: float = BETA,
+                 beam_width: int = BEAM_WIDTH) -> None:
+        self._lm = lm
+        self.alpha = alpha
+        self.beta = beta
+        self.beam_width = beam_width
+
+    @classmethod
+    def from_local(cls, model_path: str | Path) -> "BeamSearchCTCDecoder":
+        """Initialize from a local LM file (ARPA text / .gz, or KenLM binary
+        via the native scorer)."""
+        from tone_tpu.decoding.lm import load_lm
+
+        return cls(load_lm(model_path))
+
+    @classmethod
+    def from_hugging_face(cls) -> "BeamSearchCTCDecoder":
+        """Download the LM artifact from the Hub and initialize."""
+        return cls.from_local(cls.download_from_hugging_face())
+
+    @classmethod
+    def download_from_hugging_face(cls) -> str:
+        from huggingface_hub import hf_hub_download
+
+        return hf_hub_download("t-tech/T-one", "kenlm.bin")
+
+    def forward(self, logprobs: "npt.NDArray[np.float32]") -> str:
+        """Decode (L, vocab+1) logprobs to text via prefix beam search."""
+        _validate_logprobs(logprobs)
+        from tone_tpu.decoding.beam import ctc_beam_search
+
+        return ctc_beam_search(
+            logprobs.astype(np.float64), LABELS, self._lm,
+            alpha=self.alpha, beta=self.beta, beam_width=self.beam_width,
+        )
