@@ -1,0 +1,96 @@
+"""Headline benchmark: aggregate streaming throughput (RTFx) per chip.
+
+Measures the steady-state batched streaming step — the serving hot path:
+B concurrent telephony streams each advancing one 300 ms chunk per step with
+full carried recurrent state, bf16 compute.  RTFx = audio-seconds processed
+per wall-second; the BASELINE north star is >500x per chip
+(BASELINE.md; reference TensorRT numbers: A30 5,222 SPS / T4 1,786 SPS).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+diagnostic detail lines on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RTFX = 500.0  # north-star target per chip (BASELINE.md)
+CHUNK_SECONDS = 0.3
+
+
+def _run_chain(model, chunk, batch_size: int, steps: int) -> float:
+    """Run ``steps`` dependent streaming steps and force real completion via
+    a scalar host transfer (block_until_ready alone can ack early on
+    remote/tunneled backends).  State is created inside: the jitted step
+    donates its state argument, so it must not be reused across chains."""
+    state = model.init_state(batch_size)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        logprobs, state = model.forward_native(chunk, state)
+    float(jnp.sum(logprobs))  # host transfer => true completion
+    return time.perf_counter() - t0
+
+
+def measure_batch(model, batch_size: int, steps: tuple[int, int] = (20, 120)) -> float:
+    """Steady-state seconds per step at a given stream count.
+
+    Two-point slope measurement: per-step time = (t(n2) - t(n1)) / (n2 - n1),
+    which cancels the constant host<->device sync overhead (significant on a
+    tunneled chip) and any residual warmup effects.
+    """
+    chunk = jnp.asarray(
+        np.random.default_rng(0).integers(-20000, 20000,
+                                          (batch_size, 2400)).astype(np.int32))
+    _run_chain(model, chunk, batch_size, 5)  # warmup / compile
+    n1, n2 = steps
+    t1 = min(_run_chain(model, chunk, batch_size, n1) for _ in range(2))
+    t2 = min(_run_chain(model, chunk, batch_size, n2) for _ in range(2))
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def main() -> None:
+    from tone_tpu.acoustic import StreamingCTCModel
+    from tone_tpu.config import ToneConfig
+    from tone_tpu.core.model import init_model_params
+
+    config = ToneConfig()  # bf16 compute policy
+    variables = init_model_params(jax.random.PRNGKey(0), config)
+    model = StreamingCTCModel(variables, config)
+
+    backend = jax.default_backend()
+    candidates = [128, 256, 512, 1024] if backend == "tpu" else [8, 16]
+
+    best_rtfx = 0.0
+    best = {}
+    for batch in candidates:
+        try:
+            sec_per_step = measure_batch(model, batch)
+        except Exception as e:  # OOM at large batch: stop the sweep
+            print(f"batch {batch}: {type(e).__name__}", file=sys.stderr)
+            break
+        rtfx = batch * CHUNK_SECONDS / sec_per_step
+        p50_ms = sec_per_step * 1000
+        print(f"batch {batch}: {sec_per_step*1000:.2f} ms/step, "
+              f"RTFx {rtfx:.0f}, chunk latency {p50_ms:.2f} ms",
+              file=sys.stderr)
+        if rtfx > best_rtfx:
+            best_rtfx = rtfx
+            best = {"batch": batch, "ms_per_step": p50_ms}
+
+    print(json.dumps({
+        "metric": f"aggregate streaming RTFx per chip ({backend}, "
+                  f"batch {best.get('batch')}, {best.get('ms_per_step', 0):.1f} ms/chunk-step)",
+        "value": round(best_rtfx, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(best_rtfx / BASELINE_RTFX, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

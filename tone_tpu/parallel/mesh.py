@@ -1,0 +1,112 @@
+"""Device-mesh construction and sharding rules.
+
+The parallelism design (SURVEY.md §2.3): everything in the reference is
+batch parallelism, and we implement batch parallelism natively on TPU meshes —
+``data`` axis for training batches and serving stream-slots, plus an optional
+``model`` axis (tensor parallelism over heads / FF hidden) that XLA's SPMD
+partitioner turns into ICI collectives automatically.  No hand-written
+collectives: shardings in, XLA inserts psum/all-gather where needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Create a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        devices = devices[: n_data * n_model]
+    grid = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch / stream-slot) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Parameter partition specs (tensor parallelism over the 'model' axis).
+# ---------------------------------------------------------------------------
+#
+# Megatron-style column/row split of each Conformer layer:
+#   * FF lin1/linv: (d_model, d_ff)  -> split d_ff      (column)
+#   * FF lin2:      (d_ff, d_model)  -> split d_ff      (row; psum after)
+#   * attention q/k/v: (d, d)        -> split heads dim (column)
+#   * attention out:   (d, d)        -> split input dim (row; psum after)
+#   * conv pw1: (d, 2d) column (GLU halves stay local pairs? no — GLU pairs
+#     a[i] with b[i] across the half boundary, so a plain column split would
+#     separate gates from values; keep pointwise convs replicated instead)
+# Everything else (norms, depthwise convs, subsampling, head) is replicated —
+# it is a tiny fraction of FLOPs and parameters.
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    spec = P()
+    if "ff1" in keys or "ff2" in keys:
+        if "lin1" in keys or "linv" in keys:
+            spec = P(None, MODEL_AXIS) if keys[-1] == "w" else P(MODEL_AXIS)
+        elif "lin2" in keys:
+            spec = P(MODEL_AXIS, None) if keys[-1] == "w" else P()
+    elif "att" in keys:
+        if any(k in keys for k in ("linear_q", "linear_k", "linear_v")):
+            spec = P(None, MODEL_AXIS) if keys[-1] == "w" else P(MODEL_AXIS)
+        elif "linear_out" in keys:
+            spec = P(MODEL_AXIS, None) if keys[-1] == "w" else P()
+    if len(spec) > getattr(leaf, "ndim", 0):
+        spec = P()
+    return spec
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for the model parameters (TP over 'model')."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {path: _param_spec(path, leaf) for path, leaf in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [NamedSharding(mesh, specs[p]) for p, _ in flat])
+
+
+def replicated_shardings(mesh: Mesh, tree: Any) -> Any:
+    return jax.tree.map(lambda _: replicated(mesh), tree)
+
+
+def batch_shardings(mesh: Mesh, tree: Any) -> Any:
+    return jax.tree.map(lambda _: batch_sharding(mesh), tree)
+
+
+def stream_state_shardings(mesh: Mesh, state: Any, batch_size: int) -> Any:
+    """Shardings for a ``StreamingState`` pytree: the stream-slot (batch)
+    axis — wherever it is in each leaf — is sharded over 'data'.
+
+    The per-layer stacked caches (mhsa, conv) are (n_layers, B, ...), so the
+    batch axis is dim 1 there and dim 0 everywhere else; we locate it by size.
+    """
+
+    def leaf_sharding(x):
+        for dim, size in enumerate(x.shape):
+            if size == batch_size:
+                spec = [None] * x.ndim
+                spec[dim] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return replicated(mesh)
+
+    return jax.tree.map(leaf_sharding, state)
