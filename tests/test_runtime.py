@@ -1,0 +1,164 @@
+"""Serving runtime tests: arena masked ticks, engine lifecycle, pipeline parity."""
+
+import jax
+import numpy as np
+import pytest
+
+from tone_tpu.acoustic import StreamingCTCModel
+from tone_tpu.config import ToneConfig
+from tone_tpu.core.model import init_model_params, init_streaming_state, apply_streaming
+from tone_tpu.decoder import GreedyCTCDecoder
+from tone_tpu.pipeline import StreamingCTCPipeline
+from tone_tpu.runtime.arena import StreamArena
+from tone_tpu.runtime.engine import MultiStreamEngine
+from tone_tpu.splitter import StreamingLogprobSplitter
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ToneConfig(compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def variables(cfg):
+    return init_model_params(jax.random.PRNGKey(0), cfg)
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(0)
+    return rng.integers(-20000, 20000, 2400 * 4).astype(np.int32)
+
+
+def reference_logprobs(variables, cfg, audio):
+    """Single-stream logprobs via the plain streaming step."""
+    state = init_streaming_state(cfg, 1)
+    out = []
+    for i in range(len(audio) // 2400):
+        lp, state = apply_streaming(
+            variables, cfg, audio[None, i * 2400:(i + 1) * 2400], state)
+        out.append(np.asarray(lp)[0])
+    return np.concatenate(out, axis=0)
+
+
+def test_arena_masked_update_and_reset(variables, cfg, audio):
+    """Inactive slots must keep their state; reset slots must behave like
+    brand-new streams."""
+    arena = StreamArena(variables, cfg, n_slots=3)
+    ref = reference_logprobs(variables, cfg, audio)
+
+    n = cfg.audio_chunk_samples
+    chunks = np.zeros((3, n), np.int32)
+    got = {0: [], 2: []}
+
+    # slot0: chunks on every tick. slot2: same audio but interleaved with
+    # idle ticks. slot1: stays idle the whole time.
+    step_for_slot2 = 0
+    for i in range(8):
+        active = np.zeros(3, bool)
+        reset = np.zeros(3, bool)
+        if i == 0:
+            reset[[0, 2]] = True
+        if i < 4:
+            chunks[0] = audio[i * n:(i + 1) * n]
+            active[0] = True
+        if i % 2 == 0 and step_for_slot2 < 4:
+            chunks[2] = audio[step_for_slot2 * n:(step_for_slot2 + 1) * n]
+            active[2] = True
+            step_for_slot2 += 1
+        logprobs = arena.tick(chunks, active, reset)
+        if active[0]:
+            got[0].append(logprobs[0])
+        if active[2]:
+            got[2].append(logprobs[2])
+
+    np.testing.assert_allclose(np.concatenate(got[0]), ref, atol=1e-4)
+    np.testing.assert_allclose(np.concatenate(got[2]), ref, atol=1e-4)
+
+
+def test_arena_slot_reuse_is_clean(variables, cfg, audio):
+    """A slot reused for a second stream (with reset) must reproduce the
+    fresh-stream output exactly."""
+    arena = StreamArena(variables, cfg, n_slots=1)
+    n = cfg.audio_chunk_samples
+    ref = reference_logprobs(variables, cfg, audio[:2 * n])
+
+    for _round in range(2):
+        outs = []
+        for i in range(2):
+            logprobs = arena.tick(
+                audio[None, i * n:(i + 1) * n],
+                np.array([True]), np.array([i == 0]))
+            outs.append(logprobs[0])
+        np.testing.assert_allclose(np.concatenate(outs), ref, atol=1e-4)
+
+
+def test_engine_matches_pipeline(variables, cfg, audio):
+    """The batched serving engine must produce the same phrases as the
+    single-stream pipeline for identical audio."""
+    model = StreamingCTCModel(variables, cfg)
+    pipe = StreamingCTCPipeline(model, StreamingLogprobSplitter(), GreedyCTCDecoder())
+    expected = pipe.forward_offline(audio)
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=4)
+    padded = np.pad(audio, (cfg.padding, cfg.padding))
+    padded = np.pad(padded, (0, -len(padded) % cfg.audio_chunk_samples))
+
+    sid = engine.open_stream()
+    for i in range(len(padded) // cfg.audio_chunk_samples):
+        engine.feed(sid, padded[i * 2400:(i + 1) * 2400])
+    engine.close_stream(sid)
+
+    phrases = []
+    for _ in range(len(padded) // 2400 + 2):
+        for futures in engine.tick().values():
+            phrases.extend(f.result() for f in futures)
+
+    assert [(p.text, p.start_time, p.end_time) for p in phrases] == \
+           [(p.text, p.start_time, p.end_time) for p in expected]
+
+
+def test_engine_concurrent_streams_identical(variables, cfg, audio):
+    """Two concurrent streams with the same audio, joined at different times,
+    must produce identical transcripts (no cross-stream interference)."""
+    engine = MultiStreamEngine(variables, cfg, n_slots=4)
+    padded = np.pad(audio, (cfg.padding, cfg.padding))
+    padded = np.pad(padded, (0, -len(padded) % 2400))
+    n_chunks = len(padded) // 2400
+
+    sid_a = engine.open_stream()
+    results = {sid_a: [], }
+    # stream A gets 2 chunks, then B joins
+    for i in range(2):
+        engine.feed(sid_a, padded[i * 2400:(i + 1) * 2400])
+        engine.tick()
+    sid_b = engine.open_stream()
+    results[sid_b] = []
+    for i in range(n_chunks):
+        if i >= 2:
+            engine.feed(sid_a, padded[i * 2400:(i + 1) * 2400])
+        engine.feed(sid_b, padded[i * 2400:(i + 1) * 2400])
+        if i == n_chunks - 1:
+            engine.close_stream(sid_a)
+            engine.close_stream(sid_b)
+        for sid, futs in engine.tick().items():
+            results[sid].extend(f.result() for f in futs)
+    for _ in range(4):
+        for sid, futs in engine.tick().items():
+            results[sid].extend(f.result() for f in futs)
+
+    texts_a = [(p.text, p.start_time, p.end_time) for p in results[sid_a]]
+    texts_b = [(p.text, p.start_time, p.end_time) for p in results[sid_b]]
+    assert texts_a == texts_b
+    assert texts_a  # non-empty
+
+
+def test_engine_slot_exhaustion_and_release(variables, cfg):
+    engine = MultiStreamEngine(variables, cfg, n_slots=2)
+    a = engine.open_stream()
+    b = engine.open_stream()
+    engine.close(a)
+    c = engine.open_stream()  # reuses a's slot
+    assert engine.arena.n_slots == 2
+    engine.close(b)
+    engine.close(c)

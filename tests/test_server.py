@@ -1,0 +1,61 @@
+"""WebSocket server integration test (in-process, real sockets)."""
+
+import asyncio
+import json
+
+import jax
+import numpy as np
+import pytest
+
+websockets = pytest.importorskip("websockets")
+
+from tone_tpu.config import ToneConfig
+from tone_tpu.core.model import init_model_params
+from tone_tpu.runtime.engine import MultiStreamEngine
+from tone_tpu.runtime.server import TranscriptionServer
+
+
+async def _client(port, audio, frame_bytes=7000):
+    out = []
+    async with websockets.connect(f"ws://127.0.0.1:{port}/api/ws") as ws:
+        assert json.loads(await ws.recv())["event"] == "ready"
+        pcm = audio.astype("<i2").tobytes()
+        for i in range(0, len(pcm), frame_bytes):
+            await ws.send(pcm[i:i + frame_bytes])
+        await ws.send(b"")
+        try:
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+                if msg["event"] == "transcript":
+                    out.append(msg)
+        except (asyncio.TimeoutError, websockets.ConnectionClosed):
+            pass
+    return out
+
+
+@pytest.mark.slow
+def test_ws_server_two_concurrent_clients():
+    cfg = ToneConfig(compute_dtype="float32")
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=4)
+        server = TranscriptionServer(engine, tick_seconds=0.02)
+        await asyncio.to_thread(engine.arena.warmup)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws_server:
+                port = ws_server.sockets[0].getsockname()[1]
+                rng = np.random.default_rng(0)
+                audio = rng.integers(-20000, 20000, 2400 * 5).astype(np.int16)
+                # different frame sizes exercise the server-side re-chunking
+                r1, r2 = await asyncio.gather(
+                    _client(port, audio, 7000), _client(port, audio, 1234))
+                assert r1 == r2
+                assert len(r1) >= 1
+                assert all(m["event"] == "transcript" for m in r1)
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())

@@ -1,0 +1,103 @@
+"""Device-resident multi-stream state arena + masked batched tick step.
+
+The TPU-native equivalent of Triton's sequence batching with implicit state
+(reference triton/model/config.pbtxt:30-76): a fixed pool of S stream slots
+whose recurrent state lives in HBM as one batched pytree.  Every tick, ONE
+jitted step advances all S slots together — constant shapes, zero gathers,
+state donated in place.  Slots without a pending chunk keep their previous
+state via a masked select; freshly acquired slots are zeroed on-device via a
+reset mask.  Nothing but audio chunks (in) and logprobs (out) ever crosses
+the host boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tone_tpu.config import ToneConfig
+from tone_tpu.core.model import StreamingState, apply_streaming, init_streaming_state
+
+
+def _mask_like(mask: jnp.ndarray, x: jnp.ndarray, batch_size: int) -> jnp.ndarray:
+    """Broadcast a (S,) mask against the slot axis of a state leaf (the slot
+    axis is dim 0 except for the stacked per-layer caches where it is dim 1)."""
+    for dim, size in enumerate(x.shape):
+        if size == batch_size:
+            shape = [1] * x.ndim
+            shape[dim] = batch_size
+            return mask.reshape(shape)
+    raise ValueError(f"no slot axis of size {batch_size} in {x.shape}")
+
+
+class StreamArena:
+    """Owns the batched streaming state for a fixed number of slots."""
+
+    def __init__(self, variables: Any, config: ToneConfig, n_slots: int,
+                 sharding=None) -> None:
+        """Args:
+            variables: model variables pytree (committed to device).
+            n_slots: number of concurrent stream slots (the batch size of
+                every tick step; compiled once).
+            sharding: optional pytree of NamedShardings for the state (use
+                ``parallel.mesh.stream_state_shardings`` to spread slots over
+                a multi-chip mesh).
+        """
+        self.config = config
+        self.n_slots = n_slots
+        self.variables = jax.device_put(variables)
+        state = init_streaming_state(config, n_slots)
+        if sharding is not None:
+            state = jax.device_put(state, sharding)
+        self.state = state
+        self._step = self._build_step()
+
+    def _build_step(self):
+        config = self.config
+        n_slots = self.n_slots
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(variables, state, chunks, active, reset):
+            # Zero freshly-acquired slots on-device.
+            state = jax.tree.map(
+                lambda x: jnp.where(_mask_like(reset, x, n_slots),
+                                    jnp.zeros_like(x), x),
+                state)
+            logprobs, new_state = apply_streaming(variables, config, chunks, state)
+            # Slots without a pending chunk keep their previous state.
+            merged = jax.tree.map(
+                lambda new, old: jnp.where(_mask_like(active, new, n_slots), new, old),
+                new_state, state)
+            return logprobs, merged
+
+        return step
+
+    def tick(self, chunks: np.ndarray, active: np.ndarray,
+             reset: np.ndarray) -> np.ndarray:
+        """Advance all slots one 300 ms step.
+
+        Args:
+            chunks: (S, chunk_samples) int32; rows of inactive slots ignored.
+            active: (S,) bool — slots that consume their chunk this tick.
+            reset: (S,) bool — slots whose state is zeroed before the step
+                (new streams; may also be active in the same tick).
+
+        Returns:
+            logprobs (S, chunk_frames, vocab+1) float32 (host numpy).
+        """
+        logprobs, self.state = self._step(
+            self.variables, self.state,
+            jnp.asarray(chunks), jnp.asarray(active), jnp.asarray(reset))
+        return np.asarray(logprobs)
+
+    def warmup(self) -> None:
+        """Compile the tick step before serving traffic (the reference
+        equivalent is Triton model_warmup, configs/streaming_acoustic/
+        config.pbtxt:44-88)."""
+        zeros = np.zeros((self.n_slots, self.config.audio_chunk_samples), np.int32)
+        none = np.zeros(self.n_slots, bool)
+        self.tick(zeros, none, none)

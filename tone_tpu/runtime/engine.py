@@ -1,0 +1,213 @@
+"""Multi-stream serving engine: stream table, tick loop, phrase decoding.
+
+Transport-independent core of the serving layer (the websocket server in
+``tone_tpu/runtime/server.py`` wraps it).  Replaces the reference's Triton
+sequence-batching deployment: a stream table maps stream ids to arena slots,
+idle streams are evicted after a timeout (Triton's
+``max_sequence_idle_microseconds: 15000000``, triton/model/config.pbtxt:31),
+and each tick batches all pending chunks into one arena step.  The
+logprob-splitter and text decoders run host-side per stream; beam-search
+decoding (CPU-bound) is offloaded to a thread pool so it never stalls the
+TPU tick.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tone_tpu.config import ToneConfig
+from tone_tpu.pipeline import TextPhrase
+from tone_tpu.runtime.arena import StreamArena
+from tone_tpu.splitter import StreamingLogprobSplitter
+
+
+@dataclass
+class _Stream:
+    slot: int
+    splitter_state: object = None
+    pending: list = field(default_factory=list)  # queued (chunk, is_last)
+    last_activity: float = field(default_factory=time.monotonic)
+    finished: bool = False
+    sent_samples: int = 0
+
+
+@dataclass
+class EngineStats:
+    ticks: int = 0
+    chunks_processed: int = 0
+    phrases_decoded: int = 0
+    active_streams: int = 0
+    last_tick_seconds: float = 0.0
+
+
+class MultiStreamEngine:
+    """Synchronous multi-stream engine over a device state arena.
+
+    Usage:
+        engine = MultiStreamEngine(variables, config, n_slots=256)
+        sid = engine.open_stream()
+        engine.feed(sid, chunk)                  # any number of times
+        results = engine.tick()                  # {sid: [TextPhrase, ...]}
+        engine.close_stream(sid)                 # flushes with is_last
+
+    Thread-safety: all public methods take the engine lock; ``tick`` may be
+    driven by a dedicated loop (see server.py).
+    """
+
+    IDLE_EVICT_SECONDS = 15.0  # Triton parity: max_sequence_idle 15 s
+
+    def __init__(self, variables, config: ToneConfig, n_slots: int = 256,
+                 decoder=None, sharding=None, decode_workers: int = 8) -> None:
+        self.config = config
+        self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
+        self.decoder = decoder
+        self._splitter = StreamingLogprobSplitter()
+        self._streams: dict[int, _Stream] = {}
+        self._free_slots = list(range(n_slots))
+        self._slot_reset = np.zeros(n_slots, bool)
+        self._next_id = 0
+        self._lock = threading.Lock()
+        self._decode_pool = ThreadPoolExecutor(max_workers=decode_workers,
+                                               thread_name_prefix="ctc-decode")
+        self.stats = EngineStats()
+
+    # -- stream lifecycle --------------------------------------------------
+
+    def open_stream(self) -> int:
+        """Acquire a slot for a new stream; returns the stream id."""
+        with self._lock:
+            if not self._free_slots:
+                self._evict_idle_locked(force_one=True)
+            if not self._free_slots:
+                raise RuntimeError("no free stream slots")
+            slot = self._free_slots.pop()
+            sid = self._next_id
+            self._next_id += 1
+            self._streams[sid] = _Stream(slot=slot)
+            self._slot_reset[slot] = True
+            return sid
+
+    def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
+        """Queue one chunk (any length <= chunk_samples; zero-padded)."""
+        n = self.config.audio_chunk_samples
+        if len(chunk) < n:
+            chunk = np.pad(np.asarray(chunk, np.int32), (0, n - len(chunk)))
+        with self._lock:
+            stream = self._streams[sid]
+            stream.pending.append((chunk.astype(np.int32), is_last))
+            stream.last_activity = time.monotonic()
+
+    def close_stream(self, sid: int) -> None:
+        """Mark end of stream: the final chunk is flagged is_last (a zero
+        chunk is queued if nothing is pending, mirroring pipeline.finalize)."""
+        with self._lock:
+            stream = self._streams.get(sid)
+            if stream is None:
+                return
+            if stream.pending:
+                chunk, _ = stream.pending[-1]
+                stream.pending[-1] = (chunk, True)
+            else:
+                zero = np.zeros(self.config.audio_chunk_samples, np.int32)
+                stream.pending.append((zero, True))
+
+    # -- the tick ----------------------------------------------------------
+
+    def tick(self) -> dict[int, list[Future | TextPhrase]]:
+        """One batched step over all slots with pending chunks.
+
+        Returns {sid: [phrase_future, ...]} for phrases completed this tick.
+        Futures resolve to ``TextPhrase`` (decode runs on the thread pool);
+        per-stream order is the list order.
+        """
+        t0 = time.monotonic()
+        with self._lock:
+            self._evict_idle_locked()
+            n = self.arena.n_slots
+            chunks = np.zeros((n, self.config.audio_chunk_samples), np.int32)
+            active = np.zeros(n, bool)
+            reset = self._slot_reset
+            self._slot_reset = np.zeros(n, bool)
+
+            ticking: list[tuple[int, _Stream, bool]] = []
+            for sid, stream in self._streams.items():
+                if not stream.pending:
+                    continue
+                chunk, is_last = stream.pending.pop(0)
+                chunks[stream.slot] = chunk
+                active[stream.slot] = True
+                ticking.append((sid, stream, is_last))
+            self.stats.active_streams = len(self._streams)
+
+        if not ticking:
+            if reset.any():
+                # Defer slot resets to the next real tick (a reset only
+                # matters before the slot's first active step).
+                with self._lock:
+                    self._slot_reset |= reset
+            return {}
+
+        logprobs = self.arena.tick(chunks, active, reset)
+
+        results: dict[int, list[Future]] = {}
+        finished: list[int] = []
+        with self._lock:
+            for sid, stream, is_last in ticking:
+                phrases, stream.splitter_state = self._splitter.forward(
+                    logprobs[stream.slot].astype(np.float32),
+                    stream.splitter_state, is_last=is_last)
+                if phrases:
+                    results[sid] = [
+                        self._decode_pool.submit(self._decode, p) for p in phrases]
+                if is_last:
+                    stream.finished = True
+                    finished.append(sid)
+                self.stats.chunks_processed += 1
+            for sid in finished:
+                self._release_locked(sid)
+
+        self.stats.ticks += 1
+        self.stats.last_tick_seconds = time.monotonic() - t0
+        return results
+
+    def _decode(self, logprob_phrase) -> TextPhrase:
+        from tone_tpu.decoder import GreedyCTCDecoder
+
+        decoder = self.decoder or GreedyCTCDecoder()
+        text = decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
+        frame_size = 0.03
+        bias = self.config.mean_time_bias + self.config.padding / 8000
+        start = max(0.0, round(logprob_phrase.start_frame * frame_size - bias, 2))
+        end = max(start, round(logprob_phrase.end_frame * frame_size - bias, 2))
+        self.stats.phrases_decoded += 1
+        return TextPhrase(text=text, start_time=start, end_time=end)
+
+    # -- eviction ----------------------------------------------------------
+
+    def _release_locked(self, sid: int) -> None:
+        stream = self._streams.pop(sid, None)
+        if stream is not None:
+            self._free_slots.append(stream.slot)
+
+    def close(self, sid: int) -> None:
+        """Drop a stream immediately (disconnect without flush)."""
+        with self._lock:
+            self._release_locked(sid)
+
+    def _evict_idle_locked(self, force_one: bool = False) -> None:
+        now = time.monotonic()
+        idle = [sid for sid, s in self._streams.items()
+                if not s.pending and now - s.last_activity > self.IDLE_EVICT_SECONDS]
+        if force_one and not idle and self._streams:
+            sid = min(self._streams, key=lambda s: self._streams[s].last_activity)
+            idle = [sid]
+        for sid in idle:
+            self._release_locked(sid)
+
+    def shutdown(self) -> None:
+        self._decode_pool.shutdown(wait=True)

@@ -1,0 +1,216 @@
+"""WebSocket transcription server over the multi-stream engine.
+
+Speaks the reference demo protocol (tone/demo/website.py:100-116) so the
+reference's browser client works unchanged:
+
+* client connects to ``/api/ws`` and receives ``{"event": "ready"}``;
+* client sends binary PCM16LE 8 kHz mono frames (any size — the server
+  buffers and re-chunks to 300 ms), an *empty* binary message means
+  end-of-stream;
+* server pushes ``{"event": "transcript", "text", "start_time", "end_time"}``
+  per finalized phrase and closes after the flush.
+
+Unlike the reference demo (one synchronous pipeline, one request at a time),
+every connection maps to a slot in the shared device arena and all live
+connections advance together in one batched TPU step per 300 ms tick.
+
+Run:  python -m tone_tpu.runtime.server --checkpoint DIR [--port 8080]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from tone_tpu.config import ToneConfig
+from tone_tpu.runtime.engine import MultiStreamEngine
+
+logger = logging.getLogger("tone_tpu.server")
+
+TICK_SECONDS = 0.06  # poll faster than real-time so queued chunks drain
+
+
+class TranscriptionServer:
+    """Asyncio server: one engine, one tick loop, N websocket sessions."""
+
+    def __init__(self, engine: MultiStreamEngine, tick_seconds: float = TICK_SECONDS):
+        self.engine = engine
+        self.tick_seconds = tick_seconds
+        self._queues: dict[int, asyncio.Queue] = {}
+        self._loop: asyncio.AbstractEventLoop | None = None
+
+    # -- tick loop ---------------------------------------------------------
+
+    async def tick_loop(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        while True:
+            results = await asyncio.to_thread(self.engine.tick)
+            for sid, futures in results.items():
+                queue = self._queues.get(sid)
+                if queue is None:
+                    continue
+                for fut in futures:
+                    queue.put_nowait(fut)
+            await asyncio.sleep(self.tick_seconds)
+
+    # -- one websocket session --------------------------------------------
+
+    async def handle(self, websocket) -> None:
+        path = getattr(getattr(websocket, "request", None), "path", "/api/ws")
+        if not path.startswith("/api/ws"):
+            await websocket.close(code=4404, reason="unknown path")
+            return
+
+        engine = self.engine
+        config = engine.config
+        chunk_samples = config.audio_chunk_samples
+        sid = engine.open_stream()
+        queue: asyncio.Queue = asyncio.Queue()
+        self._queues[sid] = queue
+        sender = asyncio.create_task(self._send_loop(websocket, queue))
+
+        try:
+            await websocket.send(json.dumps({"event": "ready"}))
+            # Inject the leading "magic padding" (reference website.py:84).
+            buffer = np.zeros(config.padding, np.int16)
+            pending = [buffer]
+            buffered = len(buffer)
+
+            def flush_full_chunks(final: bool = False):
+                nonlocal pending, buffered
+                data = np.concatenate(pending) if len(pending) > 1 else pending[0]
+                offset = 0
+                while len(data) - offset >= chunk_samples:
+                    engine.feed(sid, data[offset:offset + chunk_samples].astype(np.int32))
+                    offset += chunk_samples
+                data = data[offset:]
+                if final:
+                    engine.feed(sid, data.astype(np.int32), is_last=False)
+                    pending, buffered = [np.zeros(0, np.int16)], 0
+                else:
+                    pending, buffered = [data], len(data)
+
+            async for message in websocket:
+                if isinstance(message, str):
+                    continue  # protocol: only binary frames carry audio
+                if len(message) == 0:
+                    # End of stream: trailing padding then flush.
+                    pending.append(np.zeros(config.padding, np.int16))
+                    flush_full_chunks(final=True)
+                    engine.close_stream(sid)
+                    break
+                samples = np.frombuffer(message, dtype="<i2")
+                pending.append(samples)
+                buffered += len(samples)
+                if buffered >= chunk_samples:
+                    flush_full_chunks()
+
+            # Wait until the engine finishes the stream, then drain.
+            while sid in engine._streams:  # noqa: SLF001 — engine owns lifecycle
+                await asyncio.sleep(self.tick_seconds)
+            await queue.join()
+        finally:
+            engine.close(sid)
+            self._queues.pop(sid, None)
+            sender.cancel()
+
+    async def _send_loop(self, websocket, queue: asyncio.Queue) -> None:
+        while True:
+            fut = await queue.get()
+            try:
+                phrase = await asyncio.wrap_future(fut) if hasattr(fut, "result") else fut
+                await websocket.send(json.dumps({
+                    "event": "transcript",
+                    "text": phrase.text,
+                    "start_time": phrase.start_time,
+                    "end_time": phrase.end_time,
+                }, ensure_ascii=False))
+            except Exception:  # noqa: BLE001 — never kill the sender loop
+                logger.exception("failed to deliver phrase")
+            finally:
+                queue.task_done()
+
+
+def _static_page_handler():
+    """Serve the bundled browser client for plain-HTTP GETs (the websockets
+    library hands non-upgrade requests to process_request)."""
+    from websockets.http11 import Response
+    from websockets.datastructures import Headers
+
+    page = (Path(__file__).parent / "static" / "index.html").read_bytes()
+
+    def process_request(connection, request):
+        if "Upgrade" in request.headers.get("Connection", "") or \
+                request.headers.get("Upgrade", "").lower() == "websocket":
+            return None  # continue with the websocket handshake
+        if request.path in ("/", "/index.html"):
+            return Response(200, "OK", Headers([
+                ("Content-Type", "text/html; charset=utf-8"),
+                ("Content-Length", str(len(page))),
+            ]), page)
+        return Response(404, "Not Found", Headers([("Content-Length", "0")]), b"")
+
+    return process_request
+
+
+async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 8080):
+    import websockets
+
+    server = TranscriptionServer(engine)
+    logger.info("warming up (compiling the %d-slot tick step)...", engine.arena.n_slots)
+    await asyncio.to_thread(engine.arena.warmup)
+    tick_task = asyncio.create_task(server.tick_loop())
+    async with websockets.serve(server.handle, host, port, max_size=2**22,
+                                process_request=_static_page_handler()):
+        logger.info("listening on ws://%s:%d/api/ws (browser client at /)",
+                    host, port)
+        try:
+            await asyncio.Future()
+        finally:
+            tick_task.cancel()
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="tone_tpu streaming ASR server")
+    parser.add_argument("--checkpoint", type=Path, default=None,
+                        help="tone_tpu checkpoint dir (default: random weights)")
+    parser.add_argument("--slots", type=int, default=256)
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    parser.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    config = ToneConfig()
+    if args.checkpoint is not None:
+        from tone_tpu.checkpoint import load_checkpoint
+
+        variables, loaded_cfg = load_checkpoint(args.checkpoint)
+        config = loaded_cfg or config
+    else:
+        import jax
+
+        from tone_tpu.core.model import init_model_params
+
+        logger.warning("no checkpoint given: serving RANDOM weights")
+        variables = init_model_params(jax.random.PRNGKey(0), config)
+
+    decoder = None
+    if args.decoder == "beam":
+        from tone_tpu.decoder import BeamSearchCTCDecoder
+
+        decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
+                   else BeamSearchCTCDecoder())
+
+    engine = MultiStreamEngine(variables, config, n_slots=args.slots, decoder=decoder)
+    asyncio.run(serve(engine, args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()
