@@ -71,19 +71,35 @@ class BeamSearchCTCDecoder:
 
     def __init__(self, lm: "LanguageModel | None" = None, *,
                  alpha: float = ALPHA, beta: float = BETA,
-                 beam_width: int = BEAM_WIDTH) -> None:
+                 beam_width: int = BEAM_WIDTH, native_lm=None) -> None:
         self._lm = lm
+        self._native_lm = native_lm
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
+        # Use the C++ decoder when buildable; it is verified equivalent to
+        # the Python implementation (tests/test_native_decoder.py) and ~10x
+        # faster.  A python LanguageModel without a native twin forces the
+        # Python path.
+        from tone_tpu.decoding.native.beamsearch import native_available
+
+        self._use_native = native_available() and (lm is None or native_lm is not None)
 
     @classmethod
     def from_local(cls, model_path: str | Path) -> "BeamSearchCTCDecoder":
         """Initialize from a local LM file (ARPA text / .gz, or KenLM binary
         via the native scorer)."""
         from tone_tpu.decoding.lm import load_lm
+        from tone_tpu.decoding.native.beamsearch import NativeArpaLM, native_available
 
-        return cls(load_lm(model_path))
+        model_path = Path(model_path)
+        native_lm = None
+        if native_available() and model_path.suffix not in (".gz", ".bin"):
+            try:
+                native_lm = NativeArpaLM(model_path)
+            except (RuntimeError, ValueError):
+                native_lm = None
+        return cls(load_lm(model_path), native_lm=native_lm)
 
     @classmethod
     def from_hugging_face(cls) -> "BeamSearchCTCDecoder":
@@ -99,6 +115,13 @@ class BeamSearchCTCDecoder:
     def forward(self, logprobs: "npt.NDArray[np.float32]") -> str:
         """Decode (L, vocab+1) logprobs to text via prefix beam search."""
         _validate_logprobs(logprobs)
+        if self._use_native:
+            from tone_tpu.decoding.native.beamsearch import ctc_beam_search_native
+
+            return ctc_beam_search_native(
+                logprobs, LABELS, self._native_lm,
+                alpha=self.alpha, beta=self.beta, beam_width=self.beam_width,
+            )
         from tone_tpu.decoding.beam import ctc_beam_search
 
         return ctc_beam_search(

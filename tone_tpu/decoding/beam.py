@@ -148,12 +148,17 @@ def ctc_beam_search(
                           beam.text, beam.partial + char, char,
                           NEG_INF, src + p, beam.lm_score, beam.context)
 
-        pruned = sorted(next_beams.values(), key=_Beam.total, reverse=True)[:beam_width]
+        # Deterministic prune: total desc, then prefix text asc as the tie
+        # break (insertion-order-independent; matches the native decoder).
+        pruned = sorted(next_beams.values(),
+                        key=lambda b: (-b.total(), b.text + b.partial))[:beam_width]
         beams = {(b.text, b.partial, b.last_char): b for b in pruned}
 
-    # Finalize: score trailing partial words, pick the best beam.
-    def final_score(b: _Beam) -> float:
-        return b.total() + lm_word_score(b.context, b.partial)
+    # Finalize: score trailing partial words, pick the best beam
+    # (deterministic tie-break on the text, as in pruning).
+    def final_key(b: _Beam):
+        return (-(b.total() + lm_word_score(b.context, b.partial)),
+                b.text + b.partial)
 
-    best = max(beams.values(), key=final_score)
+    best = min(beams.values(), key=final_key)
     return (best.text + best.partial).strip()

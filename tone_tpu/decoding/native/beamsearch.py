@@ -1,15 +1,123 @@
-"""ctypes front-end for the C++ CTC beam-search decoder (built on demand)."""
+"""ctypes front-end for the native C++ CTC beam-search decoder.
+
+The shared library is built on demand from ``src/tone_decode.cpp`` with the
+system C++ toolchain and cached next to the source.  All entry points fall
+back cleanly (callers use the pure-Python implementation) when no toolchain
+is available.
+"""
 
 from __future__ import annotations
 
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "src" / "tone_decode.cpp"
+_LIB = Path(__file__).parent / "src" / "libtone_decode.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the shared library if needed.  Returns availability."""
+    global _build_failed
+    with _lock:
+        if _LIB.exists() and not force and (
+                not _SRC.exists() or _LIB.stat().st_mtime >= _SRC.stat().st_mtime):
+            return True
+        if _build_failed and not force:
+            return False
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 str(_SRC), "-o", str(_LIB)],
+                check=True, capture_output=True, timeout=300)
+            return True
+        except (OSError, subprocess.SubprocessError):
+            _build_failed = True
+            return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not build_native():
+        return None
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(str(_LIB))
+            lib.tone_lm_load_arpa.restype = ctypes.c_void_p
+            lib.tone_lm_load_arpa.argtypes = [ctypes.c_char_p]
+            lib.tone_lm_free.argtypes = [ctypes.c_void_p]
+            lib.tone_lm_order.restype = ctypes.c_int
+            lib.tone_lm_order.argtypes = [ctypes.c_void_p]
+            lib.tone_ctc_beam_search.restype = ctypes.c_int
+            lib.tone_ctc_beam_search.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int,
+                ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
+            ]
+            _lib = lib
+    return _lib
+
 
 def native_available() -> bool:
-    return False
+    return _load() is not None
 
 
-def build_native() -> bool:
-    return False
+class NativeArpaLM:
+    """Handle to a C++-side ARPA n-gram model."""
+
+    def __init__(self, path: str | Path):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native decoder unavailable (no C++ toolchain)")
+        self._lib = lib
+        self._handle = lib.tone_lm_load_arpa(str(path).encode())
+        if not self._handle:
+            raise ValueError(f"failed to load ARPA LM from {path}")
+
+    @property
+    def order(self) -> int:
+        return self._lib.tone_lm_order(self._handle)
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.tone_lm_free(handle)
+            self._handle = None
 
 
-def ctc_beam_search_native(*args, **kwargs):
-    raise NotImplementedError("native beam search not built")
+def ctc_beam_search_native(
+    logprobs: np.ndarray,
+    labels: str,
+    lm: NativeArpaLM | None = None,
+    *,
+    alpha: float = 0.4,
+    beta: float = 0.9,
+    beam_width: int = 200,
+    token_min_logp: float = -5.0,
+) -> str:
+    """Native decode of (T, V) logprobs; same semantics as
+    tone_tpu.decoding.beam.ctc_beam_search."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable (no C++ toolchain)")
+    lp = np.ascontiguousarray(logprobs, dtype=np.float32)
+    t_max, n_classes = lp.shape
+    labels_joined = "\n".join(labels).encode("utf-8")
+    out = ctypes.create_string_buffer(4 * n_classes * max(t_max, 1) + 16)
+    n = lib.tone_ctc_beam_search(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t_max, n_classes,
+        labels_joined, len(labels),
+        lm._handle if lm is not None else None,
+        alpha, beta, beam_width, token_min_logp, out, len(out))
+    if n < 0:
+        raise RuntimeError("native beam search failed")
+    return out.value.decode("utf-8")

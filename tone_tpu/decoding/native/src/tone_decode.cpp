@@ -1,0 +1,421 @@
+// Native CTC prefix beam search with word n-gram LM shallow fusion.
+//
+// First-party replacement for the reference's pyctcdecode + KenLM stack
+// (reference tone/decoder.py:108-133): identical algorithm to the Python
+// implementation in tone_tpu/decoding/beam.py (tests assert equality), at
+// production speed.  Exposed via a C ABI for ctypes.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC tone_decode.cpp -o libtone_decode.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <memory>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+constexpr double kLog10ToLn = 2.302585092994046;
+
+inline double logaddexp(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  double m = a > b ? a : b;
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+// ---------------------------------------------------------------------------
+// ARPA n-gram LM with Katz backoff (log10, as in the file format).
+// ---------------------------------------------------------------------------
+
+struct NGramLM {
+  std::unordered_map<std::string, int32_t> vocab;
+  // ngrams[k]: key = concatenated word ids ((k+1) * 4 bytes) -> (prob, backoff)
+  std::vector<std::unordered_map<std::string, std::pair<float, float>>> ngrams;
+  int order = 0;
+  int32_t unk_id = -1;
+  float unk_floor = -10.0f;
+
+  int32_t word_id(const std::string& w) const {
+    auto it = vocab.find(w);
+    return it == vocab.end() ? -1 : it->second;
+  }
+
+  static std::string key_of(const int32_t* ids, int n) {
+    return std::string(reinterpret_cast<const char*>(ids), n * sizeof(int32_t));
+  }
+
+  // log10 P(word | context); context = word ids, most recent last.
+  float score(const int32_t* context, int ctx_len, int32_t word) const {
+    if (word < 0) {
+      if (unk_id < 0) return unk_floor;
+      word = unk_id;
+    }
+    if (ctx_len > order - 1) {
+      context += ctx_len - (order - 1);
+      ctx_len = order - 1;
+    }
+    float backoff_sum = 0.0f;
+    std::vector<int32_t> gram(ctx_len + 1);
+    for (int start = 0; start <= ctx_len; ++start) {
+      int n = ctx_len - start + 1;
+      for (int i = 0; i < n - 1; ++i) gram[i] = context[start + i];
+      gram[n - 1] = word;
+      if (n <= order) {
+        auto& table = ngrams[n - 1];
+        auto it = table.find(key_of(gram.data(), n));
+        if (it != table.end()) return it->second.first + backoff_sum;
+      }
+      if (n - 1 > 0) {
+        auto& ctx_table = ngrams[n - 2];
+        auto it = ctx_table.find(key_of(context + start, n - 1));
+        if (it != ctx_table.end()) backoff_sum += it->second.second;
+      }
+    }
+    // unigram fallback (word guaranteed present or unk)
+    auto it = ngrams[0].find(key_of(&word, 1));
+    if (it != ngrams[0].end()) return it->second.first + backoff_sum;
+    return unk_floor;
+  }
+};
+
+NGramLM* load_arpa(const char* path) {
+  std::ifstream in(path);
+  if (!in) return nullptr;
+  auto lm = std::make_unique<NGramLM>();
+  std::string line;
+  int section = 0;
+  while (std::getline(in, line)) {
+    // trim \r and whitespace
+    while (!line.empty() && (line.back() == '\r' || line.back() == '\n' ||
+                             line.back() == ' ' || line.back() == '\t'))
+      line.pop_back();
+    if (line.empty()) continue;
+    if (line[0] == '\\') {
+      if (line.find("-grams:") != std::string::npos) {
+        section = std::stoi(line.substr(1));
+        while ((int)lm->ngrams.size() < section) lm->ngrams.emplace_back();
+      } else if (line.rfind("\\end\\", 0) == 0) {
+        break;
+      }
+      continue;
+    }
+    if (section == 0) continue;
+    std::istringstream ss(line);
+    float prob;
+    if (!(ss >> prob)) continue;
+    std::vector<int32_t> ids(section);
+    std::string w;
+    bool ok = true;
+    for (int i = 0; i < section; ++i) {
+      if (!(ss >> w)) { ok = false; break; }
+      auto it = lm->vocab.find(w);
+      int32_t id;
+      if (it == lm->vocab.end()) {
+        id = (int32_t)lm->vocab.size();
+        lm->vocab.emplace(w, id);
+      } else {
+        id = it->second;
+      }
+      ids[i] = id;
+    }
+    if (!ok) continue;
+    float backoff = 0.0f;
+    ss >> backoff;  // absent => stays 0
+    lm->ngrams[section - 1][NGramLM::key_of(ids.data(), section)] = {prob, backoff};
+  }
+  if (lm->ngrams.empty()) return nullptr;
+  lm->order = (int)lm->ngrams.size();
+  auto it = lm->vocab.find("<unk>");
+  lm->unk_id = it == lm->vocab.end() ? -1 : it->second;
+  return lm.release();
+}
+
+// ---------------------------------------------------------------------------
+// CTC prefix beam search (identical semantics to tone_tpu/decoding/beam.py).
+// ---------------------------------------------------------------------------
+
+inline uint64_t hash_step(uint64_t h, int32_t x) {
+  h ^= (uint64_t)(uint32_t)x;
+  h *= 1099511628211ull;
+  return h;
+}
+constexpr uint64_t kHashSeed = 1469598103934665603ull;
+
+struct Beam {
+  std::vector<int32_t> seq;   // collapsed label ids; spaces appear only after
+                              // completed (non-empty) words
+  uint64_t hash = kHashSeed;  // incremental FNV hash of seq
+  bool last_space = false;    // last emitted symbol was a space (leading and
+                              // duplicate spaces never enter seq)
+  double p_b = kNegInf;       // prefix ends in blank
+  double p_nb = kNegInf;      // prefix ends in non-blank
+  double lm_score = 0.0;      // accumulated LM contribution (natural log)
+  std::vector<int32_t> ctx;   // word-id history for the LM (-1 = OOV)
+  int word_start = 0;         // index in seq where the in-progress word begins
+
+  double total() const { return logaddexp(p_b, p_nb) + lm_score; }
+};
+
+// A candidate key: the source beam's sequence, optionally extended by one
+// label — compared without materializing the extended vector.
+struct CandKey {
+  uint64_t h;
+  const std::vector<int32_t>* base;
+  int32_t extra;  // -1 = no extension
+  bool last_space;
+
+  size_t len() const { return base->size() + (extra >= 0 ? 1 : 0); }
+  int32_t at(size_t i) const {
+    return i < base->size() ? (*base)[i] : extra;
+  }
+  bool operator==(const CandKey& o) const {
+    if (h != o.h || last_space != o.last_space || len() != o.len()) return false;
+    for (size_t i = 0, n = len(); i < n; ++i)
+      if (at(i) != o.at(i)) return false;
+    return true;
+  }
+};
+
+struct CandHash {
+  size_t operator()(const CandKey& k) const {
+    return (size_t)(k.h ^ (k.last_space ? 0x9e3779b97f4a7c15ull : 0));
+  }
+};
+
+struct Decoder {
+  std::vector<std::string> labels;  // UTF-8 per label id
+  int space_id = -1;
+};
+
+// word string from seq[start, end)
+std::string word_of(const Decoder& dec, const std::vector<int32_t>& seq,
+                    int start, int end) {
+  std::string w;
+  for (int i = start; i < end; ++i) w += dec.labels[seq[i]];
+  return w;
+}
+
+double lm_word_contrib(const NGramLM* lm, double alpha, double beta,
+                       const std::vector<int32_t>& ctx, int32_t word_id) {
+  if (lm == nullptr) return 0.0;
+  double s = lm->score(ctx.data(), (int)ctx.size(), word_id);
+  return alpha * s * kLog10ToLn + beta;
+}
+
+std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
+                        int n_classes, const NGramLM* lm, double alpha,
+                        double beta, int beam_width, double token_min_logp) {
+  const int blank = n_classes - 1;
+  std::vector<Beam> beams(1);
+  if (lm != nullptr) {
+    int32_t bos = lm->word_id("<s>");
+    beams[0].ctx.push_back(bos);
+  }
+  beams[0].p_b = 0.0f;
+
+  std::unordered_map<CandKey, Beam, CandHash> next;
+  next.reserve(4096);
+  std::vector<int> tokens;
+  tokens.reserve(n_classes);
+
+  for (int t = 0; t < t_max; ++t) {
+    const float* frame = logprobs + (size_t)t * n_classes;
+    tokens.clear();
+    int best_tok = 0;
+    for (int c = 1; c < n_classes; ++c)
+      if (frame[c] > frame[best_tok]) best_tok = c;
+    for (int c = 0; c < n_classes; ++c)
+      if (frame[c] >= token_min_logp || c == best_tok) tokens.push_back(c);
+
+    next.clear();
+    // Candidate keys reference the (stable) source beams' sequences; the
+    // extended vector is only materialized on first insertion.
+    auto merge = [&](const Beam& src, int32_t extra, bool last_space,
+                     double p_b, double p_nb, bool new_word,
+                     int32_t completed_word, int new_word_start) {
+      CandKey key{extra >= 0 ? hash_step(src.hash, extra) : src.hash,
+                  &src.seq, extra, last_space};
+      auto it = next.find(key);
+      if (it != next.end()) {
+        it->second.p_b = logaddexp(it->second.p_b, p_b);
+        it->second.p_nb = logaddexp(it->second.p_nb, p_nb);
+        return;
+      }
+      Beam nb;
+      nb.seq = src.seq;
+      if (extra >= 0) nb.seq.push_back(extra);
+      nb.hash = key.h;
+      nb.last_space = last_space;
+      nb.p_b = p_b;
+      nb.p_nb = p_nb;
+      nb.ctx = src.ctx;
+      nb.word_start = new_word_start;
+      if (new_word) {
+        nb.lm_score = src.lm_score +
+            lm_word_contrib(lm, alpha, beta, src.ctx, completed_word);
+        if (lm != nullptr && completed_word != INT32_MIN)
+          nb.ctx.push_back(completed_word);
+      } else {
+        nb.lm_score = src.lm_score;
+      }
+      next.emplace(key, std::move(nb));
+    };
+
+    for (const Beam& beam : beams) {
+      double p_total = logaddexp(beam.p_b, beam.p_nb);
+      // python-parity "last_char": a letter, a space, or nothing (initial)
+      int32_t last = beam.last_space
+                         ? dec.space_id
+                         : (beam.seq.empty() ? -1 : beam.seq.back());
+      for (int tok : tokens) {
+        double p = frame[tok];
+        if (tok == blank) {
+          merge(beam, -1, beam.last_space, p_total + p, kNegInf, false, 0,
+                beam.word_start);
+          continue;
+        }
+        double src_p;
+        if (tok == last) {
+          // extend the run (same collapsed prefix)
+          merge(beam, -1, beam.last_space, kNegInf, beam.p_nb + p, false, 0,
+                beam.word_start);
+          src_p = beam.p_b;  // new symbol only after explicit blank
+        } else {
+          src_p = p_total;
+        }
+        if (src_p == kNegInf) continue;
+        if (tok == dec.space_id) {
+          bool has_word = (int)beam.seq.size() > beam.word_start;
+          if (has_word) {
+            int32_t wid = INT32_MIN;
+            if (lm != nullptr) {
+              std::string w = word_of(dec, beam.seq, beam.word_start,
+                                      (int)beam.seq.size());
+              wid = lm->word_id(w);
+            }
+            merge(beam, tok, true, kNegInf, src_p + p, true, wid,
+                  (int)beam.seq.size() + 1);
+          } else {
+            // empty word: the space is dropped from the prefix (leading /
+            // duplicate spaces), only the last_space flag is set
+            merge(beam, -1, true, kNegInf, src_p + p, false, 0,
+                  beam.word_start);
+          }
+        } else {
+          merge(beam, tok, false, kNegInf, src_p + p, false, 0,
+                beam.word_start);
+        }
+      }
+    }
+
+    // prune to beam_width: total desc, tie-break on text asc (UTF-8 byte
+    // order == code-point order, matching the Python implementation)
+    std::vector<Beam> pruned;
+    pruned.reserve(next.size());
+    for (auto& kv : next) pruned.push_back(std::move(kv.second));
+    auto cmp = [&dec](const Beam& a, const Beam& b) {
+      double ta = a.total(), tb = b.total();
+      if (ta != tb) return ta > tb;
+      size_t n = std::min(a.seq.size(), b.seq.size());
+      for (size_t i = 0; i < n; ++i)
+        if (a.seq[i] != b.seq[i])
+          return dec.labels[a.seq[i]] < dec.labels[b.seq[i]];
+      if (a.seq.size() != b.seq.size()) return a.seq.size() < b.seq.size();
+      return a.last_space < b.last_space;
+    };
+    if ((int)pruned.size() > beam_width) {
+      std::nth_element(pruned.begin(), pruned.begin() + beam_width, pruned.end(),
+                       cmp);
+      pruned.resize(beam_width);
+    }
+    beams = std::move(pruned);
+  }
+
+  // finalize: score trailing partial word, pick the best
+  const Beam* best = nullptr;
+  double best_score = kNegInf;
+  auto text_less = [&dec](const Beam& a, const Beam& b) {
+    size_t n = std::min(a.seq.size(), b.seq.size());
+    for (size_t i = 0; i < n; ++i)
+      if (a.seq[i] != b.seq[i])
+        return dec.labels[a.seq[i]] < dec.labels[b.seq[i]];
+    if (a.seq.size() != b.seq.size()) return a.seq.size() < b.seq.size();
+    return a.last_space < b.last_space;
+  };
+  for (const Beam& b : beams) {
+    double s = b.total();
+    if (lm != nullptr && (int)b.seq.size() > b.word_start) {
+      std::string w = word_of(dec, b.seq, b.word_start, (int)b.seq.size());
+      s += lm_word_contrib(lm, alpha, beta, b.ctx, lm->word_id(w));
+    }
+    if (best == nullptr || s > best_score ||
+        (s == best_score && text_less(b, *best))) {
+      best_score = s;
+      best = &b;
+    }
+  }
+  if (best == nullptr) return "";
+  std::string text;
+  for (int32_t id : best->seq) text += dec.labels[id];
+  // strip leading/trailing spaces
+  size_t a = text.find_first_not_of(' ');
+  size_t z = text.find_last_not_of(' ');
+  if (a == std::string::npos) return "";
+  return text.substr(a, z - a + 1);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* tone_lm_load_arpa(const char* path) { return load_arpa(path); }
+
+void tone_lm_free(void* lm) { delete static_cast<NGramLM*>(lm); }
+
+int tone_lm_order(void* lm) {
+  return lm ? static_cast<NGramLM*>(lm)->order : 0;
+}
+
+// labels: n_labels UTF-8 strings concatenated, separated by '\n'.
+// Returns bytes written to out (excluding NUL), or -1 on error.
+int tone_ctc_beam_search(const float* logprobs, int t_max, int n_classes,
+                         const char* labels_joined, int n_labels, void* lm,
+                         double alpha, double beta, int beam_width,
+                         double token_min_logp, char* out, int out_cap) {
+  Decoder dec;
+  {
+    std::string all(labels_joined);
+    size_t pos = 0;
+    for (int i = 0; i < n_labels; ++i) {
+      size_t nl = all.find('\n', pos);
+      std::string lab = all.substr(pos, nl == std::string::npos
+                                            ? std::string::npos
+                                            : nl - pos);
+      dec.labels.push_back(lab);
+      if (lab == " ") dec.space_id = i;
+      if (nl == std::string::npos) break;
+      pos = nl + 1;
+    }
+    if ((int)dec.labels.size() != n_labels) return -1;
+  }
+  std::string text =
+      beam_search(dec, logprobs, t_max, n_classes,
+                  static_cast<NGramLM*>(lm), alpha, beta, beam_width,
+                  token_min_logp);
+  if ((int)text.size() + 1 > out_cap) return -1;
+  std::memcpy(out, text.c_str(), text.size() + 1);
+  return (int)text.size();
+}
+
+}  // extern "C"
