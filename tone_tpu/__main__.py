@@ -1,0 +1,168 @@
+"""Command-line interface for the tone_tpu framework.
+
+Superset of the reference CLI (tone/__main__.py — ``download`` only):
+
+  python -m tone_tpu download DIR [--only-acoustic]   artifact download
+  python -m tone_tpu transcribe AUDIO [...]           transcribe files
+  python -m tone_tpu serve [...]                      websocket ASR server
+  python -m tone_tpu eval MANIFEST [...]              corpus WER
+  python -m tone_tpu export DIR [...]                 StableHLO export
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--checkpoint", type=Path, default=None,
+                   help="tone_tpu checkpoint dir or torch checkpoint file "
+                        "(default: random weights, for smoke testing)")
+    p.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
+    p.add_argument("--chunk-ms", type=int, default=300)
+
+
+def _build_pipeline(args):
+    import jax
+
+    from tone_tpu.acoustic import StreamingCTCModel
+    from tone_tpu.config import ToneConfig
+    from tone_tpu.decoder import BeamSearchCTCDecoder, GreedyCTCDecoder
+    from tone_tpu.pipeline import StreamingCTCPipeline
+    from tone_tpu.splitter import StreamingLogprobSplitter
+
+    config = ToneConfig()
+    if args.chunk_ms != 300:
+        config = config.with_chunk_duration_ms(args.chunk_ms)
+    if args.checkpoint is not None:
+        model = StreamingCTCModel.from_local(args.checkpoint)
+        if args.chunk_ms != 300:
+            model.config = model.config.with_chunk_duration_ms(args.chunk_ms)
+    else:
+        from tone_tpu.core.model import init_model_params
+
+        print("warning: no checkpoint given — using RANDOM weights")
+        model = StreamingCTCModel(init_model_params(jax.random.PRNGKey(0), config), config)
+    if args.decoder == "beam":
+        decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
+                   else BeamSearchCTCDecoder())
+    else:
+        decoder = GreedyCTCDecoder()
+    return StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)
+
+
+def main() -> None:
+    import os
+
+    if os.environ.get("TONE_TPU_FORCE_CPU"):
+        # Env-var JAX_PLATFORMS can be overridden by site plugins that select
+        # their platform programmatically; this forces CPU reliably.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    parser = argparse.ArgumentParser(prog="tone_tpu",
+                                     description="TPU-native streaming ASR")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_dl = sub.add_parser("download", help="download artifacts from HF Hub")
+    p_dl.add_argument("download_dir", type=Path)
+    p_dl.add_argument("--only-acoustic", action="store_true")
+
+    p_tr = sub.add_parser("transcribe", help="transcribe audio files")
+    p_tr.add_argument("files", nargs="+", type=Path)
+    p_tr.add_argument("--json", action="store_true", help="JSON output")
+    _add_model_args(p_tr)
+
+    p_srv = sub.add_parser("serve", help="websocket ASR server")
+    p_srv.add_argument("--host", default="0.0.0.0")
+    p_srv.add_argument("--port", type=int, default=8080)
+    p_srv.add_argument("--slots", type=int, default=256)
+    _add_model_args(p_srv)
+
+    p_ev = sub.add_parser("eval", help="corpus WER over a JSONL manifest")
+    p_ev.add_argument("manifest", type=Path)
+    p_ev.add_argument("--limit", type=int, default=None)
+    p_ev.add_argument("--server", default=None,
+                      help="evaluate against ws://host:port/api/ws instead of locally")
+    _add_model_args(p_ev)
+
+    p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
+    p_ex.add_argument("out_dir", type=Path)
+    p_ex.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 64])
+    _add_model_args(p_ex)
+
+    args = parser.parse_args()
+
+    if args.command == "download":
+        from tone_tpu.pipeline import StreamingCTCPipeline
+
+        args.download_dir.mkdir(exist_ok=True)
+        StreamingCTCPipeline.download_from_hugging_face(
+            args.download_dir, only_acoustic=args.only_acoustic)
+        return
+
+    if args.command == "transcribe":
+        from tone_tpu.audio import read_audio
+
+        pipeline = _build_pipeline(args)
+        for path in args.files:
+            phrases = pipeline.forward_offline(read_audio(path))
+            if args.json:
+                print(json.dumps({
+                    "file": str(path),
+                    "phrases": [vars(p) for p in phrases],
+                }, ensure_ascii=False))
+            else:
+                print(f"== {path}")
+                for p in phrases:
+                    print(f"  [{p.start_time:7.2f} – {p.end_time:7.2f}] {p.text}")
+        return
+
+    if args.command == "serve":
+        import asyncio
+
+        from tone_tpu.runtime.engine import MultiStreamEngine
+        from tone_tpu.runtime.server import serve
+
+        pipeline = _build_pipeline(args)
+        engine = MultiStreamEngine(
+            pipeline.model.variables, pipeline.model.config,
+            n_slots=args.slots, decoder=pipeline.decoder)
+        asyncio.run(serve(engine, args.host, args.port))
+        return
+
+    if args.command == "eval":
+        from tone_tpu.eval import evaluate_pipeline, evaluate_server
+
+        if args.server:
+            result = evaluate_server(args.server, args.manifest, limit=args.limit)
+        else:
+            result = evaluate_pipeline(_build_pipeline(args), args.manifest,
+                                       limit=args.limit)
+        print(json.dumps({
+            "wer": round(result.wer, 4),
+            "utterances": result.n_utterances,
+            "audio_seconds": round(result.audio_seconds, 1),
+            "wall_seconds": round(result.wall_seconds, 2),
+            "rtfx": round(result.rtfx, 1),
+        }))
+        return
+
+    if args.command == "export":
+        from tone_tpu.export import export_streaming
+
+        pipeline = _build_pipeline(args)
+        written = export_streaming(
+            pipeline.model.variables, pipeline.model.config,
+            args.batch_sizes, args.out_dir)
+        for p in written:
+            print(p)
+        return
+
+
+if __name__ == "__main__":
+    main()

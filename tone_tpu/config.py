@@ -191,6 +191,31 @@ class ToneConfig:
         n += e.d_model * e.reduction_state_size  # 384
         return n
 
+    def with_chunk_duration_ms(self, chunk_ms: int) -> "ToneConfig":
+        """Derive a config for a different streaming chunk duration.
+
+        The reference achieves this by re-exporting with a different signal
+        length (tone/scripts/export.py:562-569) or by monkeypatching class
+        constants (dev/triton/client_wer.py:277 — the config-system smell this
+        method fixes).  The chunk's model-frame count follows from the conv
+        subsampling arithmetic; e.g. 400 ms -> 3200 samples -> 40 feature
+        frames -> 13 model frames.
+        """
+        samples = chunk_ms * self.frontend.sample_rate // 1000
+        feat_frames = samples // self.frontend.hop_length
+        t = feat_frames
+        for k, s, tail in zip(self.encoder.subsampling_kernel_size,
+                              self.encoder.subsampling_strides,
+                              self.encoder.subsampling_state_lens):
+            t = (t + tail - k[0]) // s[0] + 1
+        if t <= 0:
+            raise ValueError(f"chunk of {chunk_ms} ms is too short")
+        return dataclasses.replace(
+            self,
+            audio_chunk_samples=samples,
+            encoder=dataclasses.replace(self.encoder, chunk_size=t),
+        )
+
     def to_dict(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
 

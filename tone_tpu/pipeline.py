@@ -54,6 +54,13 @@ class StreamingCTCPipeline:
         self.model = model
         self.logprob_splitter = logprob_splitter
         self.decoder = decoder
+        # Instance-level chunk/padding follow the model config (e.g. a 400 ms
+        # variant built with ToneConfig.with_chunk_duration_ms) — the class
+        # attributes are the standard 300 ms defaults.
+        config = getattr(model, "config", None)
+        if config is not None:
+            self.CHUNK_SIZE = config.audio_chunk_samples
+            self.PADDING = config.padding
 
     # -- factories ---------------------------------------------------------
 
