@@ -41,6 +41,23 @@ if TYPE_CHECKING:
     import numpy.typing as npt
 
 
+def cast_params_for_inference(variables, config: ToneConfig):
+    """Cast matmul/conv kernels (ndim >= 2 leaves named "w") to the compute
+    dtype for serving.  No numerical change vs casting at use; saves HBM
+    bandwidth, which the streaming step is bound by."""
+    dtype = jnp.dtype(config.compute_dtype)
+    if dtype == jnp.float32:
+        return variables
+
+    def cast(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "w" and getattr(leaf, "ndim", 0) >= 2:
+            return jnp.asarray(leaf, dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, variables)
+
+
 class StreamingCTCModel:
     """Runs the streaming acoustic model; maintains no state itself."""
 
@@ -54,8 +71,12 @@ class StreamingCTCModel:
         """Create the runtime from a variables pytree ({"params", "batch_stats"})."""
         self.config = config or ToneConfig()
         # Commit weights to device once: host (numpy) leaves in the pytree
-        # would otherwise be re-uploaded on every jitted call.
-        self.variables = jax.device_put(variables)
+        # would otherwise be re-uploaded on every jitted call.  Matrix weights
+        # are stored in the compute dtype (the step casts them there anyway),
+        # halving per-step weight HBM traffic under bf16; norm/bias/BN params
+        # keep fp32.
+        self.variables = jax.device_put(
+            cast_params_for_inference(variables, self.config))
         self._jitted = {}
 
     # -- factories ---------------------------------------------------------

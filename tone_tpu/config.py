@@ -158,6 +158,14 @@ class ToneConfig:
     # (mirrors the reference's TensorRT bf16+fp32-pins recipe,
     # scripts/trt_build.md:7-22).
     compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    # Streaming-state storage dtype (HBM traffic per tick); None = follow
+    # compute_dtype.  The reference stores its state in fp16
+    # (onnx_wrapper.py:34).
+    state_dtype: Literal["bfloat16", "float32", "float16"] | None = None
+
+    @property
+    def resolved_state_dtype(self) -> str:
+        return self.state_dtype or self.compute_dtype
 
     @property
     def vocab_size(self) -> int:

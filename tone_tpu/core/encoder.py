@@ -54,9 +54,9 @@ class EncoderStreamState:
     sub1: jnp.ndarray  # (B, 1, sub_state0, feat_in)
     sub2: jnp.ndarray  # (B, C0, sub_state1, hidden_feat0)
     mhsa: jnp.ndarray  # (n_stateful, B, mhsa_state_size, d_model)
-    conv: jnp.ndarray  # (n_layers, B, d_model, conv_kernel - 1)
+    conv: jnp.ndarray  # (n_layers, B, conv_kernel - 1, d_model) — time-major
     mhsa_len: jnp.ndarray  # (B,) int32
-    reduction: jnp.ndarray  # (B, d_model, reduction_state)
+    reduction: jnp.ndarray  # (B, reduction_state, d_model) — time-major
 
 
 def init_encoder_state(cfg: EncoderConfig, batch_size: int, dtype=jnp.float32) -> EncoderStreamState:
@@ -67,9 +67,9 @@ def init_encoder_state(cfg: EncoderConfig, batch_size: int, dtype=jnp.float32) -
         sub1=jnp.zeros((batch_size, 1, sub_lens[0], cfg.feat_in), dtype),
         sub2=jnp.zeros((batch_size, cfg.subsampling_conv_channels[0], sub_lens[1], sub_h[0]), dtype),
         mhsa=jnp.zeros((cfg.n_stateful_mhsa_layers, batch_size, cfg.mhsa_state_size, cfg.d_model), dtype),
-        conv=jnp.zeros((cfg.n_layers, batch_size, cfg.d_model, cfg.conv_state_size), dtype),
+        conv=jnp.zeros((cfg.n_layers, batch_size, cfg.conv_state_size, cfg.d_model), dtype),
         mhsa_len=jnp.zeros((batch_size,), jnp.int32),
-        reduction=jnp.zeros((batch_size, cfg.d_model, cfg.reduction_state_size), dtype),
+        reduction=jnp.zeros((batch_size, cfg.reduction_state_size, cfg.d_model), dtype),
     )
 
 
@@ -173,13 +173,16 @@ def _conv_module(
 
     Args:
         x: (B, T, D).
-        conv_state: (B, D, kernel-1) streaming prefix, or None for offline
-            (zero left padding — identical semantics with zero state).
+        conv_state: (B, kernel-1, D) time-major streaming prefix, or None for
+            offline (zero left padding — identical semantics with zero state).
         pad_mask: (B, T) True where the frame is padding (offline only);
             padded frames are zeroed before the depthwise conv.
 
     Returns:
         (output (B, T, D), next conv_state or None, updated bn stats).
+
+    The whole module runs feature-last (channels on TPU lanes) — no
+    transposes, unlike the reference's (B, D, T) torch layout.
     """
     b, t, d = x.shape
     y = L.linear(p["pw1"], x, dtype)  # (B, T, 2D)
@@ -187,17 +190,15 @@ def _conv_module(
     if pad_mask is not None:
         y = jnp.where(pad_mask[:, :, None], jnp.zeros_like(y), y)
 
-    y = jnp.transpose(y, (0, 2, 1))  # (B, D, T)
     if conv_state is None:
-        padded = jnp.pad(y, ((0, 0), (0, 0), (kernel_size - 1, 0)))
+        padded = jnp.pad(y, ((0, 0), (kernel_size - 1, 0), (0, 0)))
         next_state = None
     else:
-        padded = jnp.concatenate([conv_state.astype(y.dtype), y], axis=-1)
-        next_state = padded[:, :, -(kernel_size - 1):]
-    y = L.conv1d(p["dw"], padded, stride=1, groups=d, compute_dtype=dtype)
-    y, new_bn = L.batchnorm(p["bn"], bn_stats, y, channel_axis=1, training=training)
+        padded = jnp.concatenate([conv_state.astype(y.dtype), y], axis=1)
+        next_state = padded[:, -(kernel_size - 1):, :]
+    y = L.conv1d_nhc(p["dw"], padded, stride=1, groups=d, compute_dtype=dtype)
+    y, new_bn = L.batchnorm(p["bn"], bn_stats, y, channel_axis=2, training=training)
     y = L.silu(y)
-    y = jnp.transpose(y, (0, 2, 1))  # (B, T, D)
     y = L.linear(p["pw2"], y, dtype)
     return y, next_state, new_bn
 
@@ -265,22 +266,21 @@ def _temporal_reduction(
 
     Args:
         x: (B, T, D).
-        red_state: (B, D, kernel - factor) streaming prefix or None (offline:
-            left pad kernel - factor zeros + right pad to a multiple of factor).
+        red_state: (B, kernel - factor, D) time-major streaming prefix or None
+            (offline: left pad kernel - factor zeros + right pad to a multiple
+            of factor).
     """
-    y = jnp.transpose(x, (0, 2, 1))  # (B, D, T)
     k, r = cfg.reduction_kernel_size, cfg.reduction_factor
     if red_state is None:
-        t = y.shape[-1]
+        t = x.shape[1]
         right = (r - t % r) % r
-        padded = jnp.pad(y, ((0, 0), (0, 0), (k - r, right)))
+        padded = jnp.pad(x, ((0, 0), (k - r, right), (0, 0)))
         next_state = None
     else:
-        padded = jnp.concatenate([red_state.astype(y.dtype), y], axis=-1)
-        next_state = padded[:, :, -(k - r):]
-    y = L.conv1d(p["dw"], padded, stride=r, groups=cfg.d_model, compute_dtype=dtype)
-    y = jnp.transpose(y, (0, 2, 1))  # (B, T_red, 4D)
-    y = L.linear(p["pw"], y, dtype)
+        padded = jnp.concatenate([red_state.astype(x.dtype), x], axis=1)
+        next_state = padded[:, -(k - r):, :]
+    y = L.conv1d_nhc(p["dw"], padded, stride=r, groups=cfg.d_model, compute_dtype=dtype)
+    y = L.linear(p["pw"], y, dtype)  # (B, T_red, 4D) -> (B, T_red, D)
     return y, next_state
 
 

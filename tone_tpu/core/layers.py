@@ -191,6 +191,26 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1,
     return y.astype(compute_dtype)
 
 
+def conv1d_nhc(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1,
+               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Valid 1D convolution in feature-last layout: (B, T, C) input, torch
+    (O, I/groups, K) weights.  Feature-last is the TPU-native layout (lanes =
+    channels) and avoids the (B, T, C) <-> (B, C, T) transposes the torch
+    layout forces."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        jnp.transpose(p["w"].astype(compute_dtype), (2, 1, 0)),  # (K, I/g, O)
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(compute_dtype)
+
+
 def dropout(key, x: jnp.ndarray, rate: float, training: bool) -> jnp.ndarray:
     if not training or rate == 0.0 or key is None:
         return x
@@ -292,10 +312,12 @@ def mhsa(
     d_head = d // n_heads
 
     if cached_scores is None:
-        # Scores computed in fp32 throughout (the reference disables fp16
-        # autocast around the whole attention body).
-        q = linear(p["linear_q"], query, jnp.float32).reshape(b, tq, n_heads, d_head)
-        k = linear(p["linear_k"], kv, jnp.float32).reshape(b, tkv, n_heads, d_head)
+        # Projections and the score matmul run in the compute dtype with fp32
+        # accumulation; the per-head LayerNorms stay fp32 inside (the
+        # reference's deployed precision policy: matmuls reduced-precision,
+        # norms/softmax pinned fp32 — scripts/trt_build.md:7-22).
+        q = linear(p["linear_q"], query, compute_dtype).reshape(b, tq, n_heads, d_head)
+        k = linear(p["linear_k"], kv, compute_dtype).reshape(b, tkv, n_heads, d_head)
         q = layernorm(p["q_ln"], q)
         k = layernorm(p["k_ln"], k)
         q = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, Tq, dh)

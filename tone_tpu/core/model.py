@@ -62,7 +62,9 @@ def init_model_params(key, config: ToneConfig) -> dict[str, Params]:
     }
 
 
-def init_streaming_state(config: ToneConfig, batch_size: int, dtype=jnp.float32) -> StreamingState:
+def init_streaming_state(config: ToneConfig, batch_size: int, dtype=None) -> StreamingState:
+    if dtype is None:
+        dtype = jnp.dtype(config.resolved_state_dtype)
     return StreamingState(
         preproc=jnp.zeros((batch_size, config.frontend.state_size), dtype),
         encoder=init_encoder_state(config.encoder, batch_size, dtype),
@@ -189,13 +191,14 @@ def pack_state(state: StreamingState, config: ToneConfig) -> np.ndarray:
     b = state.preproc.shape[0]
     fields = {
         "preproc": np.asarray(state.preproc),
-        # stored (N, B, ...) internally -> (B, N, ...) in the blob
+        # stored (N, B, ...) internally -> (B, N, ...) in the blob; conv and
+        # reduction are stored time-major internally -> channel-major blob
         "mhsa": np.transpose(np.asarray(state.encoder.mhsa), (1, 0, 2, 3)),
-        "conv": np.transpose(np.asarray(state.encoder.conv), (1, 0, 2, 3)),
+        "conv": np.transpose(np.asarray(state.encoder.conv), (1, 0, 3, 2)),
         "mhsa_len": np.asarray(state.encoder.mhsa_len)[:, None].astype(np.float16),
         "sub1": np.asarray(state.encoder.sub1),
         "sub2": np.asarray(state.encoder.sub2),
-        "reduction": np.asarray(state.encoder.reduction),
+        "reduction": np.transpose(np.asarray(state.encoder.reduction), (0, 2, 1)),
     }
     parts = [fields[name].reshape(b, -1).astype(np.float16) for name, _ in _state_layout(config)]
     packed = np.concatenate(parts, axis=1)
@@ -217,8 +220,8 @@ def unpack_state(flat: np.ndarray, config: ToneConfig, dtype=jnp.float32) -> Str
         sub1=jnp.asarray(out["sub1"], dtype),
         sub2=jnp.asarray(out["sub2"], dtype),
         mhsa=jnp.asarray(np.transpose(out["mhsa"], (1, 0, 2, 3)), dtype),
-        conv=jnp.asarray(np.transpose(out["conv"], (1, 0, 2, 3)), dtype),
+        conv=jnp.asarray(np.transpose(out["conv"], (1, 0, 3, 2)), dtype),
         mhsa_len=jnp.asarray(out["mhsa_len"][:, 0].astype(np.int32)),
-        reduction=jnp.asarray(out["reduction"], dtype),
+        reduction=jnp.asarray(np.transpose(out["reduction"], (0, 2, 1)), dtype),
     )
     return StreamingState(preproc=jnp.asarray(out["preproc"], dtype), encoder=enc)

@@ -93,20 +93,23 @@ def batch_shardings(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda _: batch_sharding(mesh), tree)
 
 
-def stream_state_shardings(mesh: Mesh, state: Any, batch_size: int) -> Any:
+def stream_state_shardings(mesh: Mesh, state: Any, batch_size: int = 0) -> Any:
     """Shardings for a ``StreamingState`` pytree: the stream-slot (batch)
     axis — wherever it is in each leaf — is sharded over 'data'.
 
-    The per-layer stacked caches (mhsa, conv) are (n_layers, B, ...), so the
-    batch axis is dim 1 there and dim 0 everywhere else; we locate it by size.
+    The batch axis per leaf is discovered by shape-diffing two batch sizes
+    (see runtime.arena.batch_axes_tree), not by guessing from sizes.
     """
+    del batch_size  # retained for API compatibility
 
-    def leaf_sharding(x):
-        for dim, size in enumerate(x.shape):
-            if size == batch_size:
-                spec = [None] * x.ndim
-                spec[dim] = DATA_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return replicated(mesh)
+    # Leaves laid out (n_layers, B, ...) are exactly the stacked per-layer
+    # caches (mhsa / conv) of EncoderStreamState; everything else is
+    # batch-leading.
+    def leaf_sharding(path, x):
+        names = [getattr(p, "name", getattr(p, "key", "")) for p in path]
+        axis = 1 if any(n in ("mhsa", "conv") for n in names) and x.ndim == 4 else 0
+        spec = [None] * x.ndim
+        spec[axis] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
 
-    return jax.tree.map(leaf_sharding, state)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)

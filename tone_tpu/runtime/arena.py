@@ -23,15 +23,26 @@ from tone_tpu.config import ToneConfig
 from tone_tpu.core.model import StreamingState, apply_streaming, init_streaming_state
 
 
-def _mask_like(mask: jnp.ndarray, x: jnp.ndarray, batch_size: int) -> jnp.ndarray:
-    """Broadcast a (S,) mask against the slot axis of a state leaf (the slot
-    axis is dim 0 except for the stacked per-layer caches where it is dim 1)."""
-    for dim, size in enumerate(x.shape):
-        if size == batch_size:
-            shape = [1] * x.ndim
-            shape[dim] = batch_size
-            return mask.reshape(shape)
-    raise ValueError(f"no slot axis of size {batch_size} in {x.shape}")
+def batch_axes_tree(config: ToneConfig):
+    """Pytree (matching StreamingState) of the slot/batch axis index of each
+    leaf, discovered robustly by diffing shapes at two batch sizes (no
+    by-size guessing, which breaks when a layer count equals the slot count)."""
+    a = init_streaming_state(config, 1)
+    b = init_streaming_state(config, 2)
+
+    def axis(x1, x2):
+        for d, (s1, s2) in enumerate(zip(x1.shape, x2.shape)):
+            if s1 != s2:
+                return d
+        raise ValueError(f"no batch axis found in {x1.shape}")
+
+    return jax.tree.map(axis, a, b)
+
+
+def _mask_on_axis(mask: jnp.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    shape = [1] * x.ndim
+    shape[axis] = mask.shape[0]
+    return mask.reshape(shape)
 
 
 class StreamArena:
@@ -47,9 +58,11 @@ class StreamArena:
                 ``parallel.mesh.stream_state_shardings`` to spread slots over
                 a multi-chip mesh).
         """
+        from tone_tpu.acoustic import cast_params_for_inference
+
         self.config = config
         self.n_slots = n_slots
-        self.variables = jax.device_put(variables)
+        self.variables = jax.device_put(cast_params_for_inference(variables, config))
         state = init_streaming_state(config, n_slots)
         if sharding is not None:
             state = jax.device_put(state, sharding)
@@ -58,20 +71,20 @@ class StreamArena:
 
     def _build_step(self):
         config = self.config
-        n_slots = self.n_slots
+        axes = batch_axes_tree(config)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(variables, state, chunks, active, reset):
             # Zero freshly-acquired slots on-device.
             state = jax.tree.map(
-                lambda x: jnp.where(_mask_like(reset, x, n_slots),
-                                    jnp.zeros_like(x), x),
-                state)
+                lambda x, ax: jnp.where(_mask_on_axis(reset, x, ax),
+                                        jnp.zeros_like(x), x),
+                state, axes)
             logprobs, new_state = apply_streaming(variables, config, chunks, state)
             # Slots without a pending chunk keep their previous state.
             merged = jax.tree.map(
-                lambda new, old: jnp.where(_mask_like(active, new, n_slots), new, old),
-                new_state, state)
+                lambda new, old, ax: jnp.where(_mask_on_axis(active, new, ax), new, old),
+                new_state, state, axes)
             return logprobs, merged
 
         return step
