@@ -167,8 +167,8 @@ def conv2d(p: Params, x: jnp.ndarray, stride: tuple[int, int],
         window_strides=stride,
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
     )
+    y = y.astype(jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)[None, :, None, None]
     return y.astype(compute_dtype)
@@ -184,8 +184,8 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1,
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
+    y = y.astype(jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)[None, :, None]
     return y.astype(compute_dtype)
@@ -204,8 +204,8 @@ def conv1d_nhc(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1,
         padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
+    y = y.astype(jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(compute_dtype)
