@@ -158,8 +158,19 @@ def _static_page_handler():
     return process_request
 
 
-async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 8080):
+async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 8080,
+                metrics_port: int | None = 8002):
     import websockets
+
+    metrics_server = None
+    if metrics_port:
+        from tone_tpu.runtime.metrics import start_metrics_server
+
+        try:
+            metrics_server = start_metrics_server(engine, host, metrics_port)
+            logger.info("metrics at http://%s:%d/metrics", host, metrics_port)
+        except OSError as e:
+            logger.warning("metrics server disabled: %s", e)
 
     server = TranscriptionServer(engine)
     logger.info("warming up (compiling the %d-slot tick step)...", engine.arena.n_slots)
@@ -173,6 +184,8 @@ async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 80
             await asyncio.Future()
         finally:
             tick_task.cancel()
+            if metrics_server is not None:
+                metrics_server.shutdown()
 
 
 def main() -> None:
@@ -181,6 +194,7 @@ def main() -> None:
                         help="tone_tpu checkpoint dir (default: random weights)")
     parser.add_argument("--slots", type=int, default=256)
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--metrics-port", type=int, default=8002)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     parser.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
@@ -209,7 +223,7 @@ def main() -> None:
                    else BeamSearchCTCDecoder())
 
     engine = MultiStreamEngine(variables, config, n_slots=args.slots, decoder=decoder)
-    asyncio.run(serve(engine, args.host, args.port))
+    asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
 if __name__ == "__main__":
