@@ -1,0 +1,49 @@
+"""Batched offline transcriber: parity with the streaming pipeline."""
+
+import jax
+import numpy as np
+import pytest
+
+from tone_tpu.acoustic import StreamingCTCModel
+from tone_tpu.config import ToneConfig
+from tone_tpu.core.model import init_model_params
+from tone_tpu.decoder import GreedyCTCDecoder
+from tone_tpu.offline import OfflineTranscriber
+from tone_tpu.pipeline import StreamingCTCPipeline
+from tone_tpu.splitter import StreamingLogprobSplitter
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ToneConfig(compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def variables(cfg):
+    return init_model_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_batched_offline_matches_pipeline(cfg, variables):
+    """Same transcripts as the looped-streaming pipeline for mixed-length
+    utterances, in input order despite internal length bucketing."""
+    rng = np.random.default_rng(0)
+    audios = [rng.integers(-20000, 20000, n).astype(np.int32)
+              for n in (5000, 2400 * 3, 1200, 2400 * 2 + 7)]
+
+    pipe = StreamingCTCPipeline(
+        StreamingCTCModel(variables, cfg), StreamingLogprobSplitter(), GreedyCTCDecoder())
+    expected = [pipe.forward_offline(a) for a in audios]
+
+    transcriber = OfflineTranscriber(variables, cfg, batch_size=2)
+    got = transcriber.transcribe(audios)
+
+    assert len(got) == len(expected)
+    for exp, g in zip(expected, got):
+        assert [p.text for p in g] == [p.text for p in exp]
+        # The pipeline pads the tail to a chunk multiple; under random
+        # weights those extra zero-audio frames can classify as "speech" and
+        # extend the final phrase by up to one chunk (0.3 s).  Real weights
+        # classify silence correctly; here we allow that one-chunk slack.
+        for pe, pg in zip(exp, g):
+            assert abs(pe.start_time - pg.start_time) < 0.05
+            assert abs(pe.end_time - pg.end_time) <= 0.31
