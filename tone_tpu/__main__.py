@@ -80,6 +80,7 @@ def main() -> None:
     p_srv = sub.add_parser("serve", help="websocket ASR server")
     p_srv.add_argument("--host", default="0.0.0.0")
     p_srv.add_argument("--port", type=int, default=8080)
+    p_srv.add_argument("--metrics-port", type=int, default=8002)
     p_srv.add_argument("--slots", type=int, default=256)
     _add_model_args(p_srv)
 
@@ -132,7 +133,8 @@ def main() -> None:
         engine = MultiStreamEngine(
             pipeline.model.variables, pipeline.model.config,
             n_slots=args.slots, decoder=pipeline.decoder)
-        asyncio.run(serve(engine, args.host, args.port))
+        asyncio.run(serve(engine, args.host, args.port,
+                          metrics_port=args.metrics_port))
         return
 
     if args.command == "eval":

@@ -74,6 +74,7 @@ class MultiStreamEngine:
         self._lock = threading.Lock()
         self._decode_pool = ThreadPoolExecutor(max_workers=decode_workers,
                                                thread_name_prefix="ctc-decode")
+        self._finished_since_poll: list[int] = []
         self.stats = EngineStats()
 
     # -- stream lifecycle --------------------------------------------------
@@ -101,6 +102,12 @@ class MultiStreamEngine:
             stream = self._streams[sid]
             stream.pending.append((chunk.astype(np.int32), is_last))
             stream.last_activity = time.monotonic()
+
+    def has_backlog(self) -> bool:
+        """True if any stream has chunks queued (the tick loop skips its
+        sleep while draining a backlog — e.g. faster-than-realtime uploads)."""
+        with self._lock:
+            return any(s.pending for s in self._streams.values())
 
     def close_stream(self, sid: int) -> None:
         """Mark end of stream: the final chunk is flagged is_last (a zero
@@ -170,10 +177,20 @@ class MultiStreamEngine:
                 self.stats.chunks_processed += 1
             for sid in finished:
                 self._release_locked(sid)
+            self._finished_since_poll.extend(finished)
 
         self.stats.ticks += 1
         self.stats.last_tick_seconds = time.monotonic() - t0
         return results
+
+    def pop_finished(self) -> list[int]:
+        """Stream ids whose final (is_last) chunk was processed since the
+        last call — lets a transport deliver an end-of-stream marker strictly
+        after that stream's final phrases."""
+        with self._lock:
+            out = self._finished_since_poll
+            self._finished_since_poll = []
+            return out
 
     def _decode(self, logprob_phrase) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder

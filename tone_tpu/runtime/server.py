@@ -32,6 +32,8 @@ from tone_tpu.runtime.engine import MultiStreamEngine
 
 logger = logging.getLogger("tone_tpu.server")
 
+_EOS = object()  # end-of-stream marker through a session's phrase queue
+
 TICK_SECONDS = 0.06  # poll faster than real-time so queued chunks drain
 
 
@@ -56,7 +58,15 @@ class TranscriptionServer:
                     continue
                 for fut in futures:
                     queue.put_nowait(fut)
-            await asyncio.sleep(self.tick_seconds)
+            # Deliver EOS markers strictly after that stream's final phrases.
+            for sid in self.engine.pop_finished():
+                queue = self._queues.get(sid)
+                if queue is not None:
+                    queue.put_nowait(_EOS)
+            if self.engine.has_backlog():
+                await asyncio.sleep(0)  # keep draining at device speed
+            else:
+                await asyncio.sleep(self.tick_seconds)
 
     # -- one websocket session --------------------------------------------
 
@@ -110,10 +120,12 @@ class TranscriptionServer:
                 if buffered >= chunk_samples:
                     flush_full_chunks()
 
-            # Wait until the engine finishes the stream, then drain.
-            while sid in engine._streams:  # noqa: SLF001 — engine owns lifecycle
-                await asyncio.sleep(self.tick_seconds)
-            await queue.join()
+            # The sender exits once the engine's EOS marker (queued after the
+            # final phrases) is delivered.
+            try:
+                await asyncio.wait_for(sender, timeout=120)
+            except asyncio.TimeoutError:
+                logger.warning("timed out flushing stream %d", sid)
         finally:
             engine.close(sid)
             self._queues.pop(sid, None)
@@ -123,6 +135,8 @@ class TranscriptionServer:
         while True:
             fut = await queue.get()
             try:
+                if fut is _EOS:
+                    return
                 phrase = await asyncio.wrap_future(fut) if hasattr(fut, "result") else fut
                 await websocket.send(json.dumps({
                     "event": "transcript",
