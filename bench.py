@@ -24,34 +24,12 @@ BASELINE_RTFX = 500.0  # north-star target per chip (BASELINE.md)
 CHUNK_SECONDS = 0.3
 
 
-def _run_chain(model, chunk, batch_size: int, steps: int) -> float:
-    """Run ``steps`` dependent streaming steps and force real completion via
-    a scalar host transfer (block_until_ready alone can ack early on
-    remote/tunneled backends).  State is created inside: the jitted step
-    donates its state argument, so it must not be reused across chains."""
-    state = model.init_state(batch_size)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        logprobs, state = model.forward_native(chunk, state)
-    float(jnp.sum(logprobs))  # host transfer => true completion
-    return time.perf_counter() - t0
-
-
 def measure_batch(model, batch_size: int, steps: tuple[int, int] = (20, 120)) -> float:
-    """Steady-state seconds per step at a given stream count.
+    """Steady-state seconds per step at a given stream count (two-point-slope
+    method; see tone_tpu.profiling.step_stats)."""
+    from tone_tpu.profiling import step_stats
 
-    Two-point slope measurement: per-step time = (t(n2) - t(n1)) / (n2 - n1),
-    which cancels the constant host<->device sync overhead (significant on a
-    tunneled chip) and any residual warmup effects.
-    """
-    chunk = jnp.asarray(
-        np.random.default_rng(0).integers(-20000, 20000,
-                                          (batch_size, 2400)).astype(np.int32))
-    _run_chain(model, chunk, batch_size, 5)  # warmup / compile
-    n1, n2 = steps
-    t1 = min(_run_chain(model, chunk, batch_size, n1) for _ in range(2))
-    t2 = min(_run_chain(model, chunk, batch_size, n2) for _ in range(2))
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    return step_stats(model, batch_size, steps).seconds_per_step
 
 
 def main() -> None:
