@@ -78,11 +78,23 @@ def test_ctc_loss_zero_infinity():
     assert float(loss) == 0.0
 
 
+def _tiny_cfg():
+    """Small config: full architecture shape (reduction, score sharing,
+    stateful layers) at a fraction of the compile time."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    return tiny_config()
+
+
 @pytest.mark.slow
 def test_trainer_overfits_tiny_batch():
     """Full train step on a 4x2 DPxTP mesh: loss must drop fast on a
     repeated tiny batch (learning + grad sync + TP sharding all work)."""
-    cfg = ToneConfig(compute_dtype="float32")
+    cfg = _tiny_cfg()
     variables = init_model_params(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(n_data=4, n_model=2)
     trainer = Trainer(cfg, TrainerConfig(total_steps=20, learning_rate=3e-4), mesh=mesh)
@@ -105,7 +117,7 @@ def test_trainer_overfits_tiny_batch():
 
 @pytest.mark.slow
 def test_trainer_checkpoint_resume(tmp_path):
-    cfg = ToneConfig(compute_dtype="float32")
+    cfg = _tiny_cfg()
     variables = init_model_params(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(n_data=8, n_model=1)
     trainer = Trainer(cfg, TrainerConfig(total_steps=10), mesh=mesh)

@@ -34,3 +34,21 @@ __all__ = [
     "read_stream_example_audio",
 ]
 __version__ = VERSION
+
+_LAZY = {
+    "OfflineTranscriber": ("tone_tpu.offline", "OfflineTranscriber"),
+    "Trainer": ("tone_tpu.training", "Trainer"),
+    "TrainerConfig": ("tone_tpu.training", "TrainerConfig"),
+    "MultiStreamEngine": ("tone_tpu.runtime", "MultiStreamEngine"),
+    "word_error_rate": ("tone_tpu.training", "word_error_rate"),
+}
+
+
+def __getattr__(name):
+    """Lazy access to secondary subsystems without import-time cost."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'tone_tpu' has no attribute {name!r}")
