@@ -162,3 +162,15 @@ def test_engine_slot_exhaustion_and_release(variables, cfg):
     assert engine.arena.n_slots == 2
     engine.close(b)
     engine.close(c)
+
+
+def test_engine_idle_eviction(variables, cfg, monkeypatch):
+    engine = MultiStreamEngine(variables, cfg, n_slots=2)
+    engine.IDLE_EVICT_SECONDS = 0.0  # evict immediately once idle
+    a = engine.open_stream()
+    engine.tick()  # eviction pass runs inside tick
+    assert a not in engine._streams  # idle stream reaped (Triton parity)
+    # a slot is free again for a new stream
+    b = engine.open_stream()
+    c = engine.open_stream()
+    assert {engine._streams[b].slot, engine._streams[c].slot} == {0, 1}

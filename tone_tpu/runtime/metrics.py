@@ -42,6 +42,14 @@ def start_metrics_server(engine, host: str = "0.0.0.0", port: int = 8002) -> Thr
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
+            if self.path in ("/healthz", "/v2/health/ready"):
+                # Liveness/readiness (Triton /v2/health/ready parity): ready
+                # once the arena exists (the step is compiled at warmup).
+                self.send_response(200)
+                self.send_header("Content-Length", "3")
+                self.end_headers()
+                self.wfile.write(b"ok\n")
+                return
             if self.path not in ("/metrics", "/"):
                 self.send_response(404)
                 self.end_headers()

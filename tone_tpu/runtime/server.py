@@ -79,7 +79,12 @@ class TranscriptionServer:
         engine = self.engine
         config = engine.config
         chunk_samples = config.audio_chunk_samples
-        sid = engine.open_stream()
+        try:
+            sid = engine.open_stream()
+        except RuntimeError:
+            # All slots busy and nothing evictable: ask the client to retry.
+            await websocket.close(code=1013, reason="server at capacity")
+            return
         queue: asyncio.Queue = asyncio.Queue()
         self._queues[sid] = queue
         sender = asyncio.create_task(self._send_loop(websocket, queue))
