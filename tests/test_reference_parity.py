@@ -112,3 +112,27 @@ def test_ctc_head_blank_id(ref_model, cfg):
     assert cfg.blank_id == 34
     assert ref_model.config.pad_token_id == cfg.blank_id
     assert ref_model.tone.decoder.num_classes_with_blank == cfg.vocab_size_with_blank
+
+
+def test_streaming_parity_400ms_variant(ref_model, variables):
+    """The 400 ms chunk variant (13 model frames/chunk, odd -> exercises the
+    floor-division reduction path) against the reference's own streaming
+    forward with 3200-sample inputs."""
+    cfg400 = ToneConfig(compute_dtype="float32").with_chunk_duration_ms(400)
+    assert cfg400.encoder.chunk_size == 13
+
+    rng = np.random.default_rng(3)
+    audio = rng.integers(-25000, 25000, (1, 3200 * 4)).astype(np.int32)
+    states = ref_model.tone.get_initial_state(batch_size=1, dtype=torch.float32,
+                                              target="export")
+    state_j = init_streaming_state(cfg400, 1)
+    with torch.no_grad():
+        for i in range(4):
+            chunk = audio[:, i * 3200:(i + 1) * 3200]
+            out = ref_model.tone.forward_for_export(
+                torch.from_numpy(chunk[:, :, None]), None, *states)
+            lp_ref, states = out[0].numpy(), out[1:]
+            lp_j, state_j = apply_streaming(variables, cfg400,
+                                            jnp.asarray(chunk), state_j)
+            assert lp_j.shape == (1, 13, 35)
+            np.testing.assert_allclose(np.asarray(lp_j), lp_ref, atol=0.05)
