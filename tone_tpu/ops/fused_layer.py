@@ -17,14 +17,17 @@ Implementation notes (TPU v5e constraints):
 Numerics match the XLA path (fp32 norms/softmax, bf16 matmuls with fp32
 accumulation) — asserted in tests/test_fused_layer.py.
 
-STATUS — measured on a v5e chip (remote): correct, but currently SLOWER than
-the XLA path (B=128: 3.1 vs 2.3 ms/step; B=512: 12.1 vs 9.4 ms/step), so the
-default serving path remains XLA.  Profiling indicates two remaining costs:
-layer weights (~11 MB) are re-fetched per batch-tile grid step instead of
-staying VMEM-resident across iterations, and the 8-head batched matmuls on
-(B_tile, 10, 128) tiles underutilize the MXU.  Promising follow-ups: a
-2D grid (tile, layer) with weight prefetch via PrefetchScalarGridSpec /
-manual DMA double-buffering, and a block-diagonal single-matmul attention.
+STATUS — measured on a v5e chip (remote): correct, but SLOWER than the XLA
+path at every measured point (B=64 grid=1: 1.69 vs 1.35 ms; B=128: 3.1 vs
+2.3 ms; B=512: 12.1 vs 9.4 ms), so the default serving path remains XLA.
+The grid=1 measurement rules out weight re-fetch as the main cost: the
+monolithic kernel serializes phases (DMA, MXU matmuls, VPU normalization,
+the 31-tap conv loop, 8 per-head matmuls) that XLA's multi-kernel schedule
+overlaps across its pipeline.  A competitive version would need internal
+double-buffering and explicit MXU/VPU overlap (manual DMA pipelining within
+the kernel), plus a block-diagonal single-matmul attention — substantial
+Mosaic-level scheduling work for a step that is already at ~85% of the
+HBM-bandwidth roofline under XLA.
 
 Streaming-only: the offline/training path keeps the XLA implementation.
 """
