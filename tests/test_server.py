@@ -59,3 +59,35 @@ def test_ws_server_two_concurrent_clients():
             engine.shutdown()
 
     asyncio.run(main())
+
+
+@pytest.mark.slow
+def test_ws_server_capacity_rejection():
+    """With every slot held by a live stream, a new connection is refused
+    with close code 1013 (try again later)."""
+    cfg = ToneConfig(compute_dtype="float32")
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=1)
+        engine.IDLE_EVICT_SECONDS = 3600  # no eviction during the test
+        server = TranscriptionServer(engine, tick_seconds=0.05)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws_server:
+                port = ws_server.sockets[0].getsockname()[1]
+                # first client holds the only slot (keeps streaming)
+                first = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                assert json.loads(await first.recv())["event"] == "ready"
+                await first.send(np.zeros(2400, "<i2").tobytes())
+                # second client must be rejected with 1013
+                second = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                with pytest.raises(websockets.ConnectionClosed) as err:
+                    await asyncio.wait_for(second.recv(), timeout=10)
+                assert err.value.rcvd.code == 1013
+                await first.close()
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())

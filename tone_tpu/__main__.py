@@ -89,6 +89,8 @@ def main() -> None:
     p_ev.add_argument("--limit", type=int, default=None)
     p_ev.add_argument("--server", default=None,
                       help="evaluate against ws://host:port/api/ws instead of locally")
+    p_ev.add_argument("--batch-size", type=int, default=0,
+                      help=">0: batched offline transcription (faster bulk eval)")
     _add_model_args(p_ev)
 
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
@@ -142,6 +144,14 @@ def main() -> None:
 
         if args.server:
             result = evaluate_server(args.server, args.manifest, limit=args.limit)
+        elif args.batch_size > 0:
+            from tone_tpu.offline import OfflineTranscriber
+
+            pipeline = _build_pipeline(args)
+            transcriber = OfflineTranscriber(
+                pipeline.model.variables, pipeline.model.config,
+                decoder=pipeline.decoder, batch_size=args.batch_size)
+            result = evaluate_pipeline(transcriber, args.manifest, limit=args.limit)
         else:
             result = evaluate_pipeline(_build_pipeline(args), args.manifest,
                                        limit=args.limit)

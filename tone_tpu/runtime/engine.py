@@ -216,13 +216,24 @@ class MultiStreamEngine:
         with self._lock:
             self._release_locked(sid)
 
+    FORCE_EVICT_GRACE_SECONDS = 1.0  # never steal a slot active this recently
+
     def _evict_idle_locked(self, force_one: bool = False) -> None:
         now = time.monotonic()
         idle = [sid for sid, s in self._streams.items()
                 if not s.pending and now - s.last_activity > self.IDLE_EVICT_SECONDS]
-        if force_one and not idle and self._streams:
-            sid = min(self._streams, key=lambda s: self._streams[s].last_activity)
-            idle = [sid]
+        if force_one and not idle:
+            # Under slot pressure, reclaim the least-recently-active stream —
+            # but only if it has nothing queued and has been quiet for the
+            # grace period (an actively-streaming client must never lose its
+            # slot to a newcomer).
+            candidates = [
+                sid for sid, s in self._streams.items()
+                if not s.pending
+                and now - s.last_activity > self.FORCE_EVICT_GRACE_SECONDS]
+            if candidates:
+                idle = [min(candidates,
+                            key=lambda s: self._streams[s].last_activity)]
         for sid in idle:
             self._release_locked(sid)
 
