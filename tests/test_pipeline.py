@@ -89,3 +89,25 @@ def test_public_api_surface():
         "read_stream_audio", "read_example_audio", "read_stream_example_audio",
     ]:
         assert hasattr(tone_tpu, name), name
+
+
+def test_from_local_torch_checkpoint(tmp_path, pipeline):
+    """The artifact loop: export to the reference's torch naming, then build
+    a pipeline from that file and get identical transcripts."""
+    pytest.importorskip("safetensors")
+    from tone_tpu.interop import save_torch_checkpoint
+
+    cfg = pipeline.model.config
+    save_torch_checkpoint(tmp_path / "model.safetensors",
+                          pipeline.model.variables, cfg)
+    from tone_tpu.decoder import DecoderType
+
+    pipe2 = StreamingCTCPipeline.from_local(
+        tmp_path, decoder_type=DecoderType.GREEDY, config=cfg)
+
+    rng = np.random.default_rng(5)
+    audio = rng.integers(-20000, 20000, 2400 * 2).astype(np.int32)
+    a = pipeline.forward_offline(audio)
+    b = pipe2.forward_offline(audio)
+    assert [(p.text, p.start_time, p.end_time) for p in a] == \
+           [(p.text, p.start_time, p.end_time) for p in b]

@@ -82,24 +82,27 @@ class StreamingCTCModel:
     # -- factories ---------------------------------------------------------
 
     @classmethod
-    def from_local(cls, model_path: str | Path, providers=None) -> "StreamingCTCModel":
+    def from_local(cls, model_path: str | Path, providers=None,
+                   config: ToneConfig | None = None) -> "StreamingCTCModel":
         """Load from a local artifact.
 
         Accepts a tone_tpu checkpoint directory (config.json + orbax
         variables), or a torch checkpoint file (.safetensors / .bin / .pt)
         in the reference's naming, converted on the fly.
-        ``providers`` is accepted for reference API compatibility and ignored.
+        ``providers`` is accepted for reference API compatibility and ignored;
+        ``config`` overrides the stored/default configuration (e.g. to force
+        a compute dtype or chunk duration).
         """
         del providers
         path = Path(model_path)
         if path.is_dir():
             from tone_tpu.checkpoint import load_checkpoint
 
-            variables, config = load_checkpoint(path)
-            return cls(variables, config)
+            variables, stored = load_checkpoint(path)
+            return cls(variables, config or stored)
         from tone_tpu.checkpoint import load_torch_checkpoint
 
-        config = ToneConfig()
+        config = config or ToneConfig()
         return cls(load_torch_checkpoint(path, config), config)
 
     @classmethod

@@ -73,7 +73,7 @@ class StreamingCTCPipeline:
     @classmethod
     def from_local(cls, dir_path: str | Path, *,
                    decoder_type: DecoderType = DecoderType.BEAM_SEARCH,
-                   providers=None):
+                   providers=None, config=None):
         """Create a pipeline from a local artifact folder.
 
         Expects the acoustic checkpoint under ``<dir>/model`` (tone_tpu
@@ -89,7 +89,7 @@ class StreamingCTCPipeline:
                 break
         if model_path is None:
             raise FileNotFoundError(f"no acoustic model artifact in {dir_path}")
-        model = StreamingCTCModel.from_local(model_path)
+        model = StreamingCTCModel.from_local(model_path, config=config)
 
         def make_beam():
             for candidate in ("lm.arpa.gz", "lm.arpa", "kenlm.bin"):

@@ -128,6 +128,16 @@ class StreamingLogprobSplitter:
         # (space, blank).
         is_speech = np.exp(logprobs[..., -2:]).sum(axis=-1) <= self.SILENCE_THRESHOLD
 
+        if not is_last and not is_speech.any():
+            # Fast path for all-silence windows (the common telephony case —
+            # exact same result as the full span machinery: no phrases, keep
+            # the trailing ``expand``-frame margin).
+            consumed = max(0, len(logprobs) - expand)
+            return [], StreamingLogprobSplitterState(
+                past_logprobs=logprobs[consumed:],
+                offset=state.offset + consumed,
+            )
+
         phrases: list[LogprobPhrase] = []
         consumed = 0
         for start, end in self._phrase_spans(is_speech, is_last=is_last):
