@@ -87,16 +87,17 @@ class BeamSearchCTCDecoder:
 
     @classmethod
     def from_local(cls, model_path: str | Path) -> "BeamSearchCTCDecoder":
-        """Initialize from a local LM file (ARPA text / .gz, or KenLM binary
-        via the native scorer)."""
+        """Initialize from a local LM file: ARPA text (optionally .gz) or a
+        KenLM binary — the reference's published ``kenlm.bin`` artifact
+        (tone/decoder.py:84-95) loads directly."""
         from tone_tpu.decoding.lm import load_lm
-        from tone_tpu.decoding.native.beamsearch import NativeArpaLM, native_available
+        from tone_tpu.decoding.native.beamsearch import NativeLM, native_available
 
         model_path = Path(model_path)
         native_lm = None
-        if native_available() and model_path.suffix not in (".gz", ".bin"):
+        if native_available() and model_path.suffix != ".gz":
             try:
-                native_lm = NativeArpaLM(model_path)
+                native_lm = NativeLM(model_path)
             except (RuntimeError, ValueError):
                 native_lm = None
         return cls(load_lm(model_path), native_lm=native_lm)

@@ -119,15 +119,12 @@ class ArpaLM(LanguageModel):
 
 
 def load_lm(path: str | Path) -> LanguageModel:
-    """Load an LM file: ARPA text (optionally .gz) or KenLM binary.
-
-    KenLM binaries require the native scorer (tone_tpu/decoding/native); if
-    it is unavailable a clear error explains the supported formats.
-    """
+    """Load an LM file: ARPA text (optionally .gz) or KenLM binary
+    (probing format, as published by the reference — kenlm.bin)."""
     path = Path(path)
     head = (gzip.open(path, "rb") if path.suffix == ".gz" else open(path, "rb")).read(9)
     if head.startswith(b"mmap lm "):  # KenLM binary magic
-        from tone_tpu.decoding.native import KenLMBinary
+        from tone_tpu.decoding.kenlm_binary import KenLMBinary
 
         return KenLMBinary(path)
     return ArpaLM.from_file(path)

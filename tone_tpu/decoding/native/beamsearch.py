@@ -53,9 +53,17 @@ def _load() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(str(_LIB))
             lib.tone_lm_load_arpa.restype = ctypes.c_void_p
             lib.tone_lm_load_arpa.argtypes = [ctypes.c_char_p]
+            lib.tone_lm_load.restype = ctypes.c_void_p
+            lib.tone_lm_load.argtypes = [ctypes.c_char_p]
             lib.tone_lm_free.argtypes = [ctypes.c_void_p]
             lib.tone_lm_order.restype = ctypes.c_int
             lib.tone_lm_order.argtypes = [ctypes.c_void_p]
+            lib.tone_lm_word_id.restype = ctypes.c_int
+            lib.tone_lm_word_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.tone_lm_score.restype = ctypes.c_float
+            lib.tone_lm_score.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int32]
             lib.tone_ctc_beam_search.restype = ctypes.c_int
             lib.tone_ctc_beam_search.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -71,27 +79,44 @@ def native_available() -> bool:
     return _load() is not None
 
 
-class NativeArpaLM:
-    """Handle to a C++-side ARPA n-gram model."""
+class NativeLM:
+    """Handle to a C++-side n-gram model (ARPA text or KenLM binary,
+    dispatched on file magic)."""
 
     def __init__(self, path: str | Path):
         lib = _load()
         if lib is None:
             raise RuntimeError("native decoder unavailable (no C++ toolchain)")
         self._lib = lib
-        self._handle = lib.tone_lm_load_arpa(str(path).encode())
+        self._handle = lib.tone_lm_load(str(path).encode())
         if not self._handle:
-            raise ValueError(f"failed to load ARPA LM from {path}")
+            raise ValueError(f"failed to load LM from {path}")
 
     @property
     def order(self) -> int:
         return self._lib.tone_lm_order(self._handle)
+
+    def word_id(self, word: str) -> int:
+        return self._lib.tone_lm_word_id(self._handle, word.encode("utf-8"))
+
+    def score_ids(self, context_ids, word_id: int) -> float:
+        """log10 P(word | context) over native word ids (testing hook)."""
+        arr = (ctypes.c_int32 * len(context_ids))(*context_ids)
+        return self._lib.tone_lm_score(self._handle, arr, len(context_ids),
+                                       word_id)
+
+    def score(self, context, word: str) -> float:
+        return self.score_ids([self.word_id(w) for w in context],
+                              self.word_id(word))
 
     def __del__(self):
         handle = getattr(self, "_handle", None)
         if handle:
             self._lib.tone_lm_free(handle)
             self._handle = None
+
+
+NativeArpaLM = NativeLM  # backwards-compatible name
 
 
 def ctc_beam_search_native(

@@ -1,19 +1,9 @@
-"""KenLM binary-format n-gram model reader (native scorer front-end).
+"""Backwards-compatible location: the KenLM binary reader/writer now lives
+in :mod:`tone_tpu.decoding.kenlm_binary` (it is pure Python, not native; the
+native C++ twin is in ``src/tone_decode.cpp``'s ``KenLMProbing``)."""
 
-Placeholder until the native scorer lands: loading a KenLM ``.bin`` raises
-with guidance to use ARPA text (fully supported by tone_tpu.decoding.lm).
-"""
-
-from __future__ import annotations
-
-from pathlib import Path
-
-from tone_tpu.decoding.lm import LanguageModel
-
-
-class KenLMBinary(LanguageModel):
-    def __init__(self, path: str | Path):
-        raise NotImplementedError(
-            "KenLM binary models are not supported yet; convert the model to "
-            "ARPA text (kenlm's `query -b` or `build_binary -a`) and load the "
-            ".arpa/.arpa.gz file instead.")
+from tone_tpu.decoding.kenlm_binary import (  # noqa: F401
+    KenLMBinary,
+    read_kenlm_binary,
+    write_kenlm_binary,
+)

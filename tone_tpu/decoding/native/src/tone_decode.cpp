@@ -13,6 +13,7 @@
 #include <cstring>
 #include <fstream>
 #include <memory>
+#include <stdexcept>
 #include <sstream>
 #include <string>
 #include <unordered_map>
@@ -31,18 +32,31 @@ inline double logaddexp(double a, double b) {
 }
 
 // ---------------------------------------------------------------------------
-// ARPA n-gram LM with Katz backoff (log10, as in the file format).
+// Word n-gram LM interface: log10 scores with Katz backoff.
 // ---------------------------------------------------------------------------
 
-struct NGramLM {
+struct LM {
+  int order = 0;
+  virtual ~LM() = default;
+  // -1 = out of vocabulary.
+  virtual int32_t word_id(const std::string& w) const = 0;
+  // log10 P(word | context); context = word ids, most recent last.
+  virtual float score(const int32_t* context, int ctx_len,
+                      int32_t word) const = 0;
+};
+
+// ---------------------------------------------------------------------------
+// ARPA text LM (string-keyed tables).
+// ---------------------------------------------------------------------------
+
+struct NGramLM : LM {
   std::unordered_map<std::string, int32_t> vocab;
   // ngrams[k]: key = concatenated word ids ((k+1) * 4 bytes) -> (prob, backoff)
   std::vector<std::unordered_map<std::string, std::pair<float, float>>> ngrams;
-  int order = 0;
   int32_t unk_id = -1;
   float unk_floor = -10.0f;
 
-  int32_t word_id(const std::string& w) const {
+  int32_t word_id(const std::string& w) const override {
     auto it = vocab.find(w);
     return it == vocab.end() ? -1 : it->second;
   }
@@ -51,8 +65,7 @@ struct NGramLM {
     return std::string(reinterpret_cast<const char*>(ids), n * sizeof(int32_t));
   }
 
-  // log10 P(word | context); context = word ids, most recent last.
-  float score(const int32_t* context, int ctx_len, int32_t word) const {
+  float score(const int32_t* context, int ctx_len, int32_t word) const override {
     if (word < 0) {
       if (unk_id < 0) return unk_floor;
       word = unk_id;
@@ -138,6 +151,230 @@ NGramLM* load_arpa(const char* path) {
 }
 
 // ---------------------------------------------------------------------------
+// KenLM binary LM (probing / rest-probing format; see
+// tone_tpu/decoding/kenlm_binary.py for the layout documentation).
+// Tables are kept in their on-disk probing-hash layout and probed directly —
+// zero rehash cost at load, identical lookup behavior to KenLM itself.
+// ---------------------------------------------------------------------------
+
+#pragma pack(push, 4)
+struct VocabEntry { uint64_t key; uint32_t value; };
+struct ProbBackoff { float prob; float backoff; };
+struct RestWeights { float prob; float backoff; float rest; };
+struct MiddleEntry { uint64_t key; float prob; float backoff; };
+struct MiddleRestEntry { uint64_t key; float prob; float backoff; float rest; };
+struct LongestEntry { uint64_t key; float prob; };
+#pragma pack(pop)
+
+inline uint64_t murmur64a(const void* key, size_t len, uint64_t seed = 0) {
+  const uint64_t m = 0xc6a4a7935bd1e995ull;
+  const int r = 47;
+  uint64_t h = seed ^ (len * m);
+  const unsigned char* data = static_cast<const unsigned char*>(key);
+  size_t n8 = len & ~size_t(7);
+  for (size_t i = 0; i < n8; i += 8) {
+    uint64_t k;
+    std::memcpy(&k, data + i, 8);
+    k *= m; k ^= k >> r; k *= m;
+    h ^= k; h *= m;
+  }
+  uint64_t tail = 0;
+  if (len & 7) {
+    std::memcpy(&tail, data + n8, len & 7);
+    h ^= tail; h *= m;
+  }
+  h ^= h >> r; h *= m; h ^= h >> r;
+  return h;
+}
+
+inline uint64_t combine_word_hash(uint64_t current, uint32_t word_id) {
+  return (current * 8978948897894561157ull) ^
+         ((uint64_t)(1 + word_id) * 17894857484156487943ull);
+}
+
+template <class Entry>
+const Entry* probing_find(const std::vector<Entry>& table, uint64_t key) {
+  if (table.empty()) return nullptr;
+  uint64_t n = table.size();
+  for (uint64_t i = key % n;; i = (i + 1 == n ? 0 : i + 1)) {
+    if (table[i].key == key) return &table[i];
+    if (table[i].key == 0) return nullptr;
+  }
+}
+
+struct KenLMProbing : LM {
+  std::vector<VocabEntry> vocab;                 // probing layout
+  std::vector<ProbBackoff> unigram;              // indexed by word id
+  std::vector<std::vector<MiddleEntry>> middle;  // orders 2..order-1
+  std::vector<LongestEntry> longest;             // order n
+
+  int32_t word_id(const std::string& w) const override {
+    uint64_t h = murmur64a(w.data(), w.size());
+    static const uint64_t unk1 = murmur64a("<unk>", 5);
+    static const uint64_t unk2 = murmur64a("<UNK>", 5);
+    if (h == unk1 || h == unk2) return 0;
+    const VocabEntry* e = probing_find(vocab, h);
+    return e ? (int32_t)e->value : -1;
+  }
+
+  float score(const int32_t* context, int ctx_len, int32_t word) const override {
+    uint32_t w = word < 0 ? 0u : (uint32_t)word;
+    if (w >= unigram.size()) w = 0;
+    if (ctx_len > order - 1) {
+      context += ctx_len - (order - 1);
+      ctx_len = order - 1;
+    }
+    auto cid = [&](int k) {  // k-th most recent context word id
+      int32_t c = context[ctx_len - 1 - k];
+      uint32_t u = c < 0 ? 0u : (uint32_t)c;
+      return u >= unigram.size() ? 0u : u;
+    };
+    // Longest match, extending one context word at a time (KenLM order).
+    float prob = -std::fabs(unigram[w].prob);
+    int matched = 1;
+    uint64_t node = w;
+    for (int k = 0; k < ctx_len; ++k) {
+      node = combine_word_hash(node, cid(k));
+      int n = k + 2;
+      if (n < order) {
+        const MiddleEntry* e = probing_find(middle[n - 2], node);
+        if (e == nullptr) break;
+        prob = -std::fabs(e->prob);
+        matched = n;
+      } else {
+        const LongestEntry* e = probing_find(longest, node);
+        if (e != nullptr) {
+          prob = -std::fabs(e->prob);
+          matched = n;
+        }
+        break;
+      }
+    }
+    // Backoff weights of context grams at least as long as the match.
+    float backoff = 0.0f;
+    uint64_t cnode = 0;
+    for (int k = 0; k < ctx_len; ++k) {
+      int clen = k + 1;
+      if (clen == 1) {
+        cnode = cid(k);
+        if (clen >= matched) backoff += unigram[cid(k)].backoff;
+        continue;
+      }
+      cnode = combine_word_hash(cnode, cid(k));
+      if (clen >= matched && clen < order) {
+        const MiddleEntry* e = probing_find(middle[clen - 2], cnode);
+        if (e != nullptr) backoff += e->backoff;
+      }
+    }
+    return prob + backoff;
+  }
+};
+
+inline uint64_t probing_buckets(uint64_t entries, float multiplier) {
+  uint64_t scaled = (uint64_t)(multiplier * (float)entries);
+  return entries + 1 > scaled ? entries + 1 : scaled;
+}
+
+KenLMProbing* load_kenlm(const char* path) {
+  std::ifstream in(path, std::ios::binary);
+  if (!in) return nullptr;
+  std::vector<char> buf((std::istreambuf_iterator<char>(in)),
+                        std::istreambuf_iterator<char>());
+  static const char kMagic[] = "mmap lm http://kheafield.com/code format version 5\n";
+  constexpr size_t kMagicPad = 56, kSanity = 88, kFixed = 20;
+  if (buf.size() < kSanity + kFixed + 8 ||
+      std::memcmp(buf.data(), kMagic, sizeof(kMagic) - 1) != 0)
+    return nullptr;
+  uint8_t order = (uint8_t)buf[kSanity];
+  float multiplier;
+  uint32_t model_type;
+  uint8_t has_vocab;
+  std::memcpy(&multiplier, buf.data() + kSanity + 4, 4);
+  std::memcpy(&model_type, buf.data() + kSanity + 8, 4);
+  has_vocab = (uint8_t)buf[kSanity + 12];
+  (void)has_vocab;
+  (void)kMagicPad;
+  if (order < 1 || (model_type != 0 && model_type != 1)) return nullptr;
+  bool rest = model_type == 1;
+  std::vector<uint64_t> counts(order);
+  std::memcpy(counts.data(), buf.data() + kSanity + kFixed, 8 * order);
+  size_t off = (kSanity + kFixed + 8 * order + 7) & ~size_t(7);
+
+  auto lm = std::make_unique<KenLMProbing>();
+  lm->order = order;
+
+  auto need = [&](size_t bytes) {
+    if (off + bytes > buf.size()) throw std::length_error("truncated");
+    const char* p = buf.data() + off;
+    off += bytes;
+    return p;
+  };
+  try {
+    need(8);  // vocab bound (unused: ids are validated against unigram size)
+    uint64_t vb = probing_buckets(counts[0], multiplier);
+    lm->vocab.resize(vb);
+    std::memcpy(lm->vocab.data(), need(vb * sizeof(VocabEntry)),
+                vb * sizeof(VocabEntry));
+
+    lm->unigram.resize(counts[0] + 1);
+    if (rest) {
+      const char* p = need((counts[0] + 1) * sizeof(RestWeights));
+      for (uint64_t i = 0; i <= counts[0]; ++i) {
+        RestWeights rw;
+        std::memcpy(&rw, p + i * sizeof(RestWeights), sizeof(RestWeights));
+        lm->unigram[i] = {rw.prob, rw.backoff};
+      }
+    } else {
+      std::memcpy(lm->unigram.data(), need((counts[0] + 1) * sizeof(ProbBackoff)),
+                  (counts[0] + 1) * sizeof(ProbBackoff));
+    }
+
+    for (int n = 2; n < (int)order; ++n) {
+      uint64_t nb = probing_buckets(counts[n - 1], multiplier);
+      std::vector<MiddleEntry> table(nb);
+      if (rest) {
+        const char* p = need(nb * sizeof(MiddleRestEntry));
+        for (uint64_t i = 0; i < nb; ++i) {
+          MiddleRestEntry e;
+          std::memcpy(&e, p + i * sizeof(MiddleRestEntry), sizeof(e));
+          table[i] = {e.key, e.prob, e.backoff};
+        }
+      } else {
+        std::memcpy(table.data(), need(nb * sizeof(MiddleEntry)),
+                    nb * sizeof(MiddleEntry));
+      }
+      uint64_t found = 0;
+      for (const auto& e : table) found += e.key != 0;
+      if (found != counts[n - 1]) return nullptr;
+      lm->middle.push_back(std::move(table));
+    }
+    if (order > 1) {
+      uint64_t nb = probing_buckets(counts[order - 1], multiplier);
+      lm->longest.resize(nb);
+      std::memcpy(lm->longest.data(), need(nb * sizeof(LongestEntry)),
+                  nb * sizeof(LongestEntry));
+      uint64_t found = 0;
+      for (const auto& e : lm->longest) found += e.key != 0;
+      if (found != counts[order - 1]) return nullptr;
+    }
+  } catch (const std::length_error&) {
+    return nullptr;
+  }
+  return lm.release();
+}
+
+// Sniff the file magic: KenLM binary vs ARPA text.
+LM* load_lm(const char* path) {
+  std::ifstream in(path, std::ios::binary);
+  if (!in) return nullptr;
+  char head[8] = {0};
+  in.read(head, 8);
+  in.close();
+  if (std::memcmp(head, "mmap lm ", 8) == 0) return load_kenlm(path);
+  return load_arpa(path);
+}
+
+// ---------------------------------------------------------------------------
 // CTC prefix beam search (identical semantics to tone_tpu/decoding/beam.py).
 // ---------------------------------------------------------------------------
 
@@ -202,7 +439,7 @@ std::string word_of(const Decoder& dec, const std::vector<int32_t>& seq,
   return w;
 }
 
-double lm_word_contrib(const NGramLM* lm, double alpha, double beta,
+double lm_word_contrib(const LM* lm, double alpha, double beta,
                        const std::vector<int32_t>& ctx, int32_t word_id) {
   if (lm == nullptr) return 0.0;
   double s = lm->score(ctx.data(), (int)ctx.size(), word_id);
@@ -210,7 +447,7 @@ double lm_word_contrib(const NGramLM* lm, double alpha, double beta,
 }
 
 std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
-                        int n_classes, const NGramLM* lm, double alpha,
+                        int n_classes, const LM* lm, double alpha,
                         double beta, int beam_width, double token_min_logp) {
   const int blank = n_classes - 1;
   std::vector<Beam> beams(1);
@@ -381,10 +618,24 @@ extern "C" {
 
 void* tone_lm_load_arpa(const char* path) { return load_arpa(path); }
 
-void tone_lm_free(void* lm) { delete static_cast<NGramLM*>(lm); }
+// Load an LM from ARPA text or a KenLM binary (dispatch on file magic).
+void* tone_lm_load(const char* path) { return load_lm(path); }
+
+void tone_lm_free(void* lm) { delete static_cast<LM*>(lm); }
 
 int tone_lm_order(void* lm) {
-  return lm ? static_cast<NGramLM*>(lm)->order : 0;
+  return lm ? static_cast<LM*>(lm)->order : 0;
+}
+
+// Word id for a UTF-8 word (-1 = OOV). For KenLM binaries OOV maps to 0.
+int tone_lm_word_id(void* lm, const char* word) {
+  return static_cast<LM*>(lm)->word_id(word);
+}
+
+// log10 P(word | context); context = word ids, most recent last.
+float tone_lm_score(void* lm, const int32_t* context, int ctx_len,
+                    int32_t word) {
+  return static_cast<LM*>(lm)->score(context, ctx_len, word);
 }
 
 // labels: n_labels UTF-8 strings concatenated, separated by '\n'.
@@ -411,7 +662,7 @@ int tone_ctc_beam_search(const float* logprobs, int t_max, int n_classes,
   }
   std::string text =
       beam_search(dec, logprobs, t_max, n_classes,
-                  static_cast<NGramLM*>(lm), alpha, beta, beam_width,
+                  static_cast<LM*>(lm), alpha, beta, beam_width,
                   token_min_logp);
   if ((int)text.size() + 1 > out_cap) return -1;
   std::memcpy(out, text.c_str(), text.size() + 1);
