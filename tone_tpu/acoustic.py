@@ -87,8 +87,10 @@ class StreamingCTCModel:
         """Load from a local artifact.
 
         Accepts a tone_tpu checkpoint directory (config.json + orbax
-        variables), or a torch checkpoint file (.safetensors / .bin / .pt)
-        in the reference's naming, converted on the fly.
+        variables), a torch checkpoint file (.safetensors / .bin / .pt)
+        in the reference's naming, or the reference's deployed ``model.onnx``
+        artifact (tone/onnx_wrapper.py:60-77) — weights are extracted from
+        the ONNX graph and converted on the fly.
         ``providers`` is accepted for reference API compatibility and ignored;
         ``config`` overrides the stored/default configuration (e.g. to force
         a compute dtype or chunk duration).
@@ -100,9 +102,13 @@ class StreamingCTCModel:
 
             variables, stored = load_checkpoint(path)
             return cls(variables, config or stored)
+        config = config or ToneConfig()
+        if path.suffix == ".onnx":
+            from tone_tpu.onnx_import import load_onnx_checkpoint
+
+            return cls(load_onnx_checkpoint(path, config), config)
         from tone_tpu.checkpoint import load_torch_checkpoint
 
-        config = config or ToneConfig()
         return cls(load_torch_checkpoint(path, config), config)
 
     @classmethod

@@ -77,13 +77,15 @@ class StreamingCTCPipeline:
         """Create a pipeline from a local artifact folder.
 
         Expects the acoustic checkpoint under ``<dir>/model`` (tone_tpu
-        format) or ``<dir>/model.safetensors`` / ``model.bin`` (torch
-        format), and the LM under ``<dir>/lm.arpa[.gz]`` or ``<dir>/kenlm.bin``.
+        format), ``<dir>/model.safetensors`` / ``model.bin`` (torch format),
+        or ``<dir>/model.onnx`` (the reference's deployed artifact), and the
+        LM under ``<dir>/lm.arpa[.gz]`` or ``<dir>/kenlm.bin``.
         """
         del providers
         dir_path = Path(dir_path)
         model_path = None
-        for candidate in ("model", "model.safetensors", "model.bin", "model.pt"):
+        for candidate in ("model", "model.safetensors", "model.bin", "model.pt",
+                          "model.onnx"):
             if (dir_path / candidate).exists():
                 model_path = dir_path / candidate
                 break
