@@ -23,10 +23,6 @@ import numpy as np
 if TYPE_CHECKING:
     import numpy.typing as npt
 
-_EXAMPLE_DIRS = [
-    Path(__file__).parent / "examples",
-    Path("/root/reference/tone/demo/audio_examples"),
-]
 
 
 def _resample_to(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
@@ -94,14 +90,12 @@ def read_audio(path_to_file: Path | str, sample_rate: int = 8000) -> "npt.NDArra
 
 
 def read_example_audio(*, long_audio: bool = False) -> "npt.NDArray[np.int32]":
-    """Get one of the two bundled example audio files."""
+    """Get one of the two bundled example audio files (synthesized
+    deterministically on first use — self-contained, no external assets)."""
+    from tone_tpu.audio.examples import example_path
+
     name = "audio_long.flac" if long_audio else "audio_short.flac"
-    for d in _EXAMPLE_DIRS:
-        p = d / name
-        if p.exists():
-            return read_audio(p)
-    raise FileNotFoundError(
-        f"example audio {name!r} not found in {[str(d) for d in _EXAMPLE_DIRS]}")
+    return read_audio(example_path(name))
 
 
 def _stream_chunks(audio: np.ndarray, chunk_size: int, padding: int) -> Iterator[np.ndarray]:
