@@ -174,3 +174,31 @@ def test_engine_idle_eviction(variables, cfg, monkeypatch):
     b = engine.open_stream()
     c = engine.open_stream()
     assert {engine._streams[b].slot, engine._streams[c].slot} == {0, 1}
+
+
+def test_engine_eviction_notifies_and_feed_raises(variables, cfg):
+    """An evicted stream is reported via pop_evicted, and a later feed on it
+    raises UnknownStreamError (the transport closes the socket with a
+    distinct code instead of crashing the handler)."""
+    import pytest
+
+    from tone_tpu.runtime.engine import UnknownStreamError
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=2)
+    engine.IDLE_EVICT_SECONDS = 0.0
+    a = engine.open_stream()
+    engine.tick()
+    assert engine.pop_evicted() == [a]
+    assert engine.pop_evicted() == []  # drained
+    with pytest.raises(UnknownStreamError):
+        engine.feed(a, np.zeros(2400, np.int32))
+
+
+def test_engine_force_evict_notifies(variables, cfg, monkeypatch):
+    """Slot-pressure reclamation also lands in pop_evicted."""
+    engine = MultiStreamEngine(variables, cfg, n_slots=1)
+    engine.FORCE_EVICT_GRACE_SECONDS = 0.0
+    a = engine.open_stream()
+    b = engine.open_stream()  # steals a's slot (a is quiet, grace 0)
+    assert a != b
+    assert engine.pop_evicted() == [a]

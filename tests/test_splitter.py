@@ -138,3 +138,68 @@ def test_reference_parity_random_streams(seed):
             np.testing.assert_array_equal(x.logprobs, y.logprobs)
         assert s_a.offset == s_b.offset
         np.testing.assert_array_equal(s_a.past_logprobs, s_b.past_logprobs)
+
+
+# -- BatchLogprobSplitter: vectorized multi-stream parity --------------------
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_batch_splitter_equals_per_stream(seed):
+    """The batched slot splitter must emit exactly what per-slot
+    StreamingLogprobSplitter instances emit for the same chunk sequence
+    (random speech/silence mixes, staggered is_last, slot reuse)."""
+    from tone_tpu.splitter import BatchLogprobSplitter
+
+    rng = np.random.default_rng(seed)
+    n_slots, t, n_ticks = 16, 10, 60
+    batch = BatchLogprobSplitter(n_slots)
+    refs = [StreamingLogprobSplitter() for _ in range(n_slots)]
+    states = [None] * n_slots
+    # each slot ends at a different tick, then is reused
+    end_tick = rng.integers(20, n_ticks - 1, n_slots)
+
+    for tick in range(n_ticks):
+        ticking = [s for s in range(n_slots) if rng.random() < 0.8]
+        if not ticking:
+            continue
+        k = len(ticking)
+        pattern = rng.choice([".", "s"], p=[0.6, 0.4], size=(k, t))
+        lp = np.stack([make_logprobs("".join(row)) for row in pattern])
+        lp += rng.normal(0, 0.2, lp.shape).astype(np.float32)
+        lp = (lp - np.log(np.exp(lp).sum(-1, keepdims=True))).astype(np.float32)
+        lasts = np.array([tick == end_tick[s] for s in ticking], bool)
+
+        got = batch.forward_batch(lp, np.asarray(ticking, np.int64), lasts)
+        for i, slot in enumerate(ticking):
+            want, states[slot] = refs[slot].forward(
+                lp[i], states[slot], is_last=bool(lasts[i]))
+            have = got.get(slot, [])
+            assert len(want) == len(have), (tick, slot)
+            for x, y in zip(have, want):
+                assert (x.start_frame, x.end_frame) == (y.start_frame, y.end_frame)
+                np.testing.assert_array_equal(x.logprobs, y.logprobs)
+            if lasts[i]:  # slot released + reacquired
+                batch.reset(slot)
+                refs[slot] = StreamingLogprobSplitter()
+                states[slot] = None
+                end_tick[slot] = n_ticks + 1
+
+
+def test_batch_splitter_force_split_long_phrase():
+    from tone_tpu.splitter import BatchLogprobSplitter
+
+    batch = BatchLogprobSplitter(2)
+    ref = StreamingLogprobSplitter()
+    state = None
+    lp_all = make_logprobs("s" * 2300 + "." * 40)
+    got_frames, want_frames = [], []
+    for i in range(0, len(lp_all), 10):
+        lp = lp_all[i:i + 10][None]
+        got = batch.forward_batch(lp, np.array([1], np.int64), np.array([False]))
+        for p in got.get(1, []):
+            got_frames.append((p.start_frame, p.end_frame, p.logprobs.shape[0]))
+        want, state = ref.forward(lp[0], state)
+        for p in want:
+            want_frames.append((p.start_frame, p.end_frame, p.logprobs.shape[0]))
+    assert got_frames == want_frames
+    assert any(e - s == 2000 for s, e, _ in got_frames)  # force-split fired

@@ -75,6 +75,9 @@ class StreamArena:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(variables, state, chunks, active, reset):
+            # Chunks cross the host boundary as int16 (half the H2D bytes of
+            # the int32 API dtype); widen on device — numerically identical.
+            chunks = chunks.astype(jnp.int32)
             # Zero freshly-acquired slots on-device.
             state = jax.tree.map(
                 lambda x, ax: jnp.where(_mask_on_axis(reset, x, ax),
@@ -94,7 +97,8 @@ class StreamArena:
         """Advance all slots one 300 ms step.
 
         Args:
-            chunks: (S, chunk_samples) int32; rows of inactive slots ignored.
+            chunks: (S, chunk_samples) int16/int32 (16-bit audio range);
+                rows of inactive slots ignored.
             active: (S,) bool — slots that consume their chunk this tick.
             reset: (S,) bool — slots whose state is zeroed before the step
                 (new streams; may also be active in the same tick).
@@ -104,13 +108,14 @@ class StreamArena:
         """
         logprobs, self.state = self._step(
             self.variables, self.state,
-            jnp.asarray(chunks), jnp.asarray(active), jnp.asarray(reset))
+            jnp.asarray(np.asarray(chunks, np.int16)),
+            jnp.asarray(active), jnp.asarray(reset))
         return np.asarray(logprobs)
 
     def warmup(self) -> None:
         """Compile the tick step before serving traffic (the reference
         equivalent is Triton model_warmup, configs/streaming_acoustic/
         config.pbtxt:44-88)."""
-        zeros = np.zeros((self.n_slots, self.config.audio_chunk_samples), np.int32)
+        zeros = np.zeros((self.n_slots, self.config.audio_chunk_samples), np.int16)
         none = np.zeros(self.n_slots, bool)
         self.tick(zeros, none, none)

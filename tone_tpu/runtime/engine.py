@@ -5,10 +5,10 @@ Transport-independent core of the serving layer (the websocket server in
 sequence-batching deployment: a stream table maps stream ids to arena slots,
 idle streams are evicted after a timeout (Triton's
 ``max_sequence_idle_microseconds: 15000000``, triton/model/config.pbtxt:31),
-and each tick batches all pending chunks into one arena step.  The
-logprob-splitter and text decoders run host-side per stream; beam-search
-decoding (CPU-bound) is offloaded to a thread pool so it never stalls the
-TPU tick.
+and each tick batches all pending chunks into one arena step.  Host-side
+phrase segmentation is one vectorized pass over all ticking slots
+(``BatchLogprobSplitter``); beam-search decoding (CPU-bound) is offloaded to
+a thread pool so it never stalls the TPU tick.
 """
 
 from __future__ import annotations
@@ -23,13 +23,17 @@ import numpy as np
 from tone_tpu.config import ToneConfig
 from tone_tpu.pipeline import TextPhrase
 from tone_tpu.runtime.arena import StreamArena
-from tone_tpu.splitter import StreamingLogprobSplitter
+from tone_tpu.splitter import BatchLogprobSplitter
+
+
+class UnknownStreamError(KeyError):
+    """The stream id is gone — closed, finished, or evicted for idleness
+    (the transport should tell the client its session ended)."""
 
 
 @dataclass
 class _Stream:
     slot: int
-    splitter_state: object = None
     pending: list = field(default_factory=list)  # queued (chunk, is_last)
     last_activity: float = field(default_factory=time.monotonic)
     finished: bool = False
@@ -43,6 +47,7 @@ class EngineStats:
     phrases_decoded: int = 0
     active_streams: int = 0
     last_tick_seconds: float = 0.0
+    last_host_seconds: float = 0.0  # tick cost excluding the device step wait
 
 
 class MultiStreamEngine:
@@ -66,7 +71,7 @@ class MultiStreamEngine:
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
-        self._splitter = StreamingLogprobSplitter()
+        self._splitter = BatchLogprobSplitter(n_slots)
         self._streams: dict[int, _Stream] = {}
         self._free_slots = list(range(n_slots))
         self._slot_reset = np.zeros(n_slots, bool)
@@ -75,6 +80,7 @@ class MultiStreamEngine:
         self._decode_pool = ThreadPoolExecutor(max_workers=decode_workers,
                                                thread_name_prefix="ctc-decode")
         self._finished_since_poll: list[int] = []
+        self._evicted_since_poll: list[int] = []
         self.stats = EngineStats()
 
     # -- stream lifecycle --------------------------------------------------
@@ -91,16 +97,28 @@ class MultiStreamEngine:
             self._next_id += 1
             self._streams[sid] = _Stream(slot=slot)
             self._slot_reset[slot] = True
+            self._splitter.reset(slot)
             return sid
 
     def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
-        """Queue one chunk (any length <= chunk_samples; zero-padded)."""
+        """Queue one chunk (any length <= chunk_samples; zero-padded).
+
+        Raises:
+            UnknownStreamError: the stream finished, was closed, or was
+                evicted (idle timeout / slot pressure) — the client must
+                open a new stream.
+        """
         n = self.config.audio_chunk_samples
+        chunk = np.asarray(chunk).astype(np.int16, copy=False)
         if len(chunk) < n:
-            chunk = np.pad(np.asarray(chunk, np.int32), (0, n - len(chunk)))
+            chunk = np.pad(chunk, (0, n - len(chunk)))
         with self._lock:
-            stream = self._streams[sid]
-            stream.pending.append((chunk.astype(np.int32), is_last))
+            stream = self._streams.get(sid)
+            if stream is None:
+                raise UnknownStreamError(
+                    f"stream {sid} is not active (finished, closed, or "
+                    f"evicted after {self.IDLE_EVICT_SECONDS:.0f}s idle)")
+            stream.pending.append((chunk, is_last))
             stream.last_activity = time.monotonic()
 
     def has_backlog(self) -> bool:
@@ -120,7 +138,7 @@ class MultiStreamEngine:
                 chunk, _ = stream.pending[-1]
                 stream.pending[-1] = (chunk, True)
             else:
-                zero = np.zeros(self.config.audio_chunk_samples, np.int32)
+                zero = np.zeros(self.config.audio_chunk_samples, np.int16)
                 stream.pending.append((zero, True))
 
     # -- the tick ----------------------------------------------------------
@@ -136,7 +154,7 @@ class MultiStreamEngine:
         with self._lock:
             self._evict_idle_locked()
             n = self.arena.n_slots
-            chunks = np.zeros((n, self.config.audio_chunk_samples), np.int32)
+            chunks = np.zeros((n, self.config.audio_chunk_samples), np.int16)
             active = np.zeros(n, bool)
             reset = self._slot_reset
             self._slot_reset = np.zeros(n, bool)
@@ -159,28 +177,35 @@ class MultiStreamEngine:
                     self._slot_reset |= reset
             return {}
 
+        t_dev0 = time.monotonic()
         logprobs = self.arena.tick(chunks, active, reset)
+        t_device = time.monotonic() - t_dev0
+
+        slot_ids = np.array([s.slot for _, s, _ in ticking], np.int64)
+        lasts = np.array([last for _, _, last in ticking], bool)
+        by_slot = self._splitter.forward_batch(
+            logprobs[slot_ids].astype(np.float32, copy=False), slot_ids, lasts)
 
         results: dict[int, list[Future]] = {}
         finished: list[int] = []
         with self._lock:
             for sid, stream, is_last in ticking:
-                phrases, stream.splitter_state = self._splitter.forward(
-                    logprobs[stream.slot].astype(np.float32),
-                    stream.splitter_state, is_last=is_last)
+                phrases = by_slot.get(stream.slot)
                 if phrases:
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p) for p in phrases]
                 if is_last:
                     stream.finished = True
                     finished.append(sid)
-                self.stats.chunks_processed += 1
+            self.stats.chunks_processed += len(ticking)
             for sid in finished:
                 self._release_locked(sid)
             self._finished_since_poll.extend(finished)
 
         self.stats.ticks += 1
-        self.stats.last_tick_seconds = time.monotonic() - t0
+        elapsed = time.monotonic() - t0
+        self.stats.last_tick_seconds = elapsed
+        self.stats.last_host_seconds = elapsed - t_device
         return results
 
     def pop_finished(self) -> list[int]:
@@ -190,6 +215,16 @@ class MultiStreamEngine:
         with self._lock:
             out = self._finished_since_poll
             self._finished_since_poll = []
+            return out
+
+    def pop_evicted(self) -> list[int]:
+        """Stream ids evicted (idle timeout or slot pressure) since the last
+        call — the transport should notify those clients (e.g. close the
+        websocket with a distinct code) instead of letting their next feed()
+        fail."""
+        with self._lock:
+            out = self._evicted_since_poll
+            self._evicted_since_poll = []
             return out
 
     def _decode(self, logprob_phrase) -> TextPhrase:
@@ -236,6 +271,7 @@ class MultiStreamEngine:
                             key=lambda s: self._streams[s].last_activity)]
         for sid in idle:
             self._release_locked(sid)
+        self._evicted_since_poll.extend(idle)
 
     def shutdown(self) -> None:
         self._decode_pool.shutdown(wait=True)

@@ -28,11 +28,15 @@ from pathlib import Path
 import numpy as np
 
 from tone_tpu.config import ToneConfig
-from tone_tpu.runtime.engine import MultiStreamEngine
+from tone_tpu.runtime.engine import MultiStreamEngine, UnknownStreamError
 
 logger = logging.getLogger("tone_tpu.server")
 
-_EOS = object()  # end-of-stream marker through a session's phrase queue
+_EOS = object()      # end-of-stream marker through a session's phrase queue
+_EVICTED = object()  # slot reclaimed (idle timeout / pressure) marker
+
+# Close codes (4xxx = application-defined per RFC 6455)
+CLOSE_EVICTED = 4408  # idle timeout / slot reclaimed — reconnect to resume
 
 TICK_SECONDS = 0.06  # poll faster than real-time so queued chunks drain
 
@@ -63,6 +67,13 @@ class TranscriptionServer:
                 queue = self._queues.get(sid)
                 if queue is not None:
                     queue.put_nowait(_EOS)
+            # Tell evicted clients their session ended (Triton's idle reaping
+            # is silent; here the socket closes with a distinct code instead
+            # of the next feed erroring out).
+            for sid in self.engine.pop_evicted():
+                queue = self._queues.get(sid)
+                if queue is not None:
+                    queue.put_nowait(_EVICTED)
             if self.engine.has_backlog():
                 await asyncio.sleep(0)  # keep draining at device speed
             else:
@@ -110,20 +121,25 @@ class TranscriptionServer:
                 else:
                     pending, buffered = [data], len(data)
 
-            async for message in websocket:
-                if isinstance(message, str):
-                    continue  # protocol: only binary frames carry audio
-                if len(message) == 0:
-                    # End of stream: trailing padding then flush.
-                    pending.append(np.zeros(config.padding, np.int16))
-                    flush_full_chunks(final=True)
-                    engine.close_stream(sid)
-                    break
-                samples = np.frombuffer(message, dtype="<i2")
-                pending.append(samples)
-                buffered += len(samples)
-                if buffered >= chunk_samples:
-                    flush_full_chunks()
+            try:
+                async for message in websocket:
+                    if isinstance(message, str):
+                        continue  # protocol: only binary frames carry audio
+                    if len(message) == 0:
+                        # End of stream: trailing padding then flush.
+                        pending.append(np.zeros(config.padding, np.int16))
+                        flush_full_chunks(final=True)
+                        engine.close_stream(sid)
+                        break
+                    samples = np.frombuffer(message, dtype="<i2")
+                    pending.append(samples)
+                    buffered += len(samples)
+                    if buffered >= chunk_samples:
+                        flush_full_chunks()
+            except UnknownStreamError:
+                # Evicted between the tick-loop notice and this feed.
+                await websocket.close(code=CLOSE_EVICTED, reason="stream evicted")
+                return
 
             # The sender exits once the engine's EOS marker (queued after the
             # final phrases) is delivered.
@@ -141,6 +157,10 @@ class TranscriptionServer:
             fut = await queue.get()
             try:
                 if fut is _EOS:
+                    return
+                if fut is _EVICTED:
+                    await websocket.close(code=CLOSE_EVICTED,
+                                          reason="idle timeout: slot reclaimed")
                     return
                 phrase = await asyncio.wrap_future(fut) if hasattr(fut, "result") else fut
                 await websocket.send(json.dumps({

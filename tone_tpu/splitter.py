@@ -75,10 +75,15 @@ class StreamingLogprobSplitter:
         n = len(is_speech)
         # Synthetic leading silence guarantees the stream starts at a phrase
         # boundary; trailing silence flushes the final phrase on is_last.
-        padded = np.pad(is_speech, (min_sil, min_sil if is_last else 0))
-
-        silence = ~padded
-        edges = np.diff(np.pad(silence, (1, 1)).astype(np.int8))
+        # (Manual padding: np.pad costs ~40us/call, this path is per-slot-hot
+        # in the batched serving splitter.)
+        m = min_sil + n + (min_sil if is_last else 0)
+        silence = np.empty(m + 2, np.int8)
+        silence[0] = silence[-1] = 0
+        silence[1:min_sil + 1] = 1
+        np.logical_not(is_speech, out=silence[min_sil + 1:min_sil + 1 + n].view(bool))
+        silence[min_sil + 1 + n:-1] = 1
+        edges = np.diff(silence)
         starts = np.flatnonzero(edges == 1) - min_sil
         ends = np.flatnonzero(edges == -1) - min_sil
         long_enough = (ends - starts) >= min_sil
@@ -156,3 +161,199 @@ class StreamingLogprobSplitter:
             past_logprobs=logprobs[consumed:],
             offset=state.offset + consumed,
         )
+
+
+class _SlotBuffer:
+    """Per-slot carry (logprobs + speech mask) with O(1) chunk append and
+    lazy assembly.
+
+    Equivalent to ``StreamingLogprobSplitterState.past_logprobs`` but stored
+    as a list of the original chunk arrays — nothing is copied until the
+    span machinery actually runs, so a 60 s in-progress phrase costs
+    appends, not O(L^2) re-concatenation.
+    """
+
+    __slots__ = ("chunks", "sp", "head", "length")
+
+    def __init__(self) -> None:
+        self.chunks: list = []   # (T, 35) float32 pieces
+        self.sp: list = []       # (T,) bool pieces, parallel to chunks
+        self.head = 0            # frames already consumed from chunks[0]
+        self.length = 0          # buffered frames (excluding head)
+
+    def append(self, chunk: np.ndarray, sp: np.ndarray) -> None:
+        self.chunks.append(chunk)
+        self.sp.append(sp)
+        self.length += len(chunk)
+
+    def speech_window(self) -> np.ndarray:
+        """The buffer's is_speech mask as one (length,) bool array."""
+        if not self.sp:
+            return np.zeros(0, bool)
+        cat = self.sp[0] if len(self.sp) == 1 else np.concatenate(self.sp)
+        return cat[self.head:]
+
+    def slice(self, a: int, b: int) -> np.ndarray:
+        """Assemble logprob frames [a, b) of the buffer (0 = first
+        unconsumed)."""
+        a, b = a + self.head, b + self.head
+        parts = []
+        pos = 0
+        for c in self.chunks:
+            lo, hi = max(a - pos, 0), min(b - pos, len(c))
+            if hi > lo:
+                parts.append(c[lo:hi])
+            pos += len(c)
+            if pos >= b:
+                break
+        if not parts:
+            return np.zeros((0, 35), np.float32)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def drop_prefix(self, n: int) -> None:
+        """Discard the first ``n`` unconsumed frames."""
+        self.head += n
+        self.length -= n
+        while self.chunks and self.head >= len(self.chunks[0]):
+            self.head -= len(self.chunks[0])
+            self.chunks.pop(0)
+            self.sp.pop(0)
+
+
+class BatchLogprobSplitter:
+    """Vectorized multi-stream splitter over a fixed slot table.
+
+    Behavioral parity with per-slot :class:`StreamingLogprobSplitter`
+    instances fed the same chunks (asserted by tests/test_splitter.py), at
+    serving scale.  Per tick: ONE batched speech-probability pass over all
+    ticking slots, then three per-slot regimes:
+
+    * all-silence window, not flushing — indexed fast path (keep the
+      ``expand``-frame margin, advance offsets);
+    * mid-phrase, no boundary event — O(1) append of the chunk to the
+      slot's carry (the reference's per-call machinery provably emits
+      nothing and consumes nothing on such windows);
+    * boundary event — a silence run completes (detected by a vectorized
+      frame-step over trailing-silence counters), the buffer crosses the
+      force-split length, or ``is_last`` — run the EXACT span machinery
+      (shared ``_phrase_spans``) on the assembled window.
+
+    Phrase boundaries are rare (one per utterance per stream), so the exact
+    machinery runs on a small fraction of slot-ticks and the steady-state
+    host cost is a few vector ops plus O(1) python per slot.
+    """
+
+    def __init__(self, n_slots: int) -> None:
+        self._span = StreamingLogprobSplitter()
+        self.n_slots = n_slots
+        self._buf = [_SlotBuffer() for _ in range(n_slots)]
+        self._carry_speech = np.zeros(n_slots, bool)
+        self._carry_len = np.zeros(n_slots, np.int64)
+        self._offset = np.zeros(n_slots, np.int64)
+        self._sil_run = np.zeros(n_slots, np.int64)  # trailing silence frames
+
+    def reset(self, slot: int) -> None:
+        self._buf[slot] = _SlotBuffer()
+        self._carry_speech[slot] = False
+        self._carry_len[slot] = 0
+        self._offset[slot] = 0
+        self._sil_run[slot] = 0
+
+    def forward_batch(
+        self,
+        logprobs: "npt.NDArray[np.float32]",
+        slots: "npt.NDArray[np.int64]",
+        is_last: "npt.NDArray[np.bool_]",
+    ) -> dict[int, list[LogprobPhrase]]:
+        """Consume one (K, T, 35) tick of logprobs for K slots.
+
+        Returns {slot: [LogprobPhrase, ...]} for slots that completed
+        phrases this tick.
+        """
+        span = self._span
+        expand = span.SPEECH_EXPAND_SIZE
+        t = logprobs.shape[1]
+        sp_new = np.exp(logprobs[..., -2:]).sum(axis=-1) <= span.SILENCE_THRESHOLD
+
+        # Vectorized boundary detection: step the per-slot trailing-silence
+        # counters through the T new frames; a phrase can only close on the
+        # frame where a run reaches MIN_SILENCE_DURATION with speech before
+        # it in the buffered window.
+        sil_run = self._sil_run[slots]
+        speech_seen = self._carry_speech[slots]
+        closes = np.zeros(len(slots), bool)
+        for i in range(t):
+            sp_i = sp_new[:, i]
+            sil_run = np.where(sp_i, 0, sil_run + 1)
+            closes |= (sil_run == span.MIN_SILENCE_DURATION) & speech_seen
+            speech_seen |= sp_i
+        self._sil_run[slots] = sil_run
+
+        new_len = self._carry_len[slots] + t
+        machinery = closes | is_last | (
+            speech_seen & (new_len >= span.MAX_PHRASE_DURATION))
+        silent = ~speech_seen & ~machinery
+
+        # Fast path (all-silence window, not flushing): keep an
+        # ``expand``-frame margin, advance the offset — fully indexed.
+        # Copies detach the carry from the (K, T, 35) tick array (a view
+        # would pin every tick's full batch in memory).
+        fast = np.flatnonzero(silent)
+        fast_slots = slots[fast]
+        self._offset[fast_slots] += new_len[fast] - expand
+        self._carry_len[fast_slots] = expand
+        for k in fast:
+            slot = int(slots[k])
+            buf = _SlotBuffer()
+            buf.append(logprobs[k, t - expand:].copy(), sp_new[k, t - expand:].copy())
+            self._buf[slot] = buf
+
+        # Mid-phrase, no boundary: the reference machinery is a no-op on
+        # this window (no qualifying silence run, below force-split length,
+        # speech present so no margin trim) — append and move on.
+        grow = np.flatnonzero(~silent & ~machinery)
+        self._carry_len[slots[grow]] = new_len[grow]
+        self._carry_speech[slots[grow]] = True
+        for k in grow:
+            self._buf[int(slots[k])].append(logprobs[k].copy(), sp_new[k].copy())
+
+        # Boundary events: run the exact per-window span machinery.
+        out: dict[int, list[LogprobPhrase]] = {}
+        for k in np.flatnonzero(machinery):
+            slot = int(slots[k])
+            buf = self._buf[slot]
+            buf.append(logprobs[k].copy(), sp_new[k].copy())
+            wsp = buf.speech_window()
+            phrases, consumed = self._split_buffer(
+                buf, wsp, int(self._offset[slot]), bool(is_last[k]), expand)
+            if phrases:
+                out[slot] = phrases
+            buf.drop_prefix(consumed)
+            rest = wsp[consumed:]
+            self._offset[slot] += consumed
+            self._carry_len[slot] = buf.length
+            self._carry_speech[slot] = bool(rest.any())
+            # Recompute the trailing-silence counter from the kept carry; if
+            # the carry is all silence the incremental counter (contiguous
+            # run across the trimmed frames) is already exact — keep it.
+            nz = np.flatnonzero(rest)
+            if len(nz):
+                self._sil_run[slot] = len(rest) - 1 - nz[-1]
+        return out
+
+    def _split_buffer(self, buf: _SlotBuffer, is_speech: np.ndarray,
+                      offset: int, is_last: bool, expand: int):
+        """The exact per-window splitting of StreamingLogprobSplitter.forward,
+        over a chunked buffer instead of one array."""
+        phrases: list[LogprobPhrase] = []
+        consumed = 0
+        for start, end in self._span._phrase_spans(is_speech, is_last=is_last):
+            phrases.append(LogprobPhrase(
+                logprobs=buf.slice(max(0, start - expand), end + expand),
+                start_frame=start + offset,
+                end_frame=end + offset,
+            ))
+            consumed = end
+        if not is_speech[consumed:].any():
+            consumed = max(consumed, buf.length - expand)
+        return phrases, consumed
