@@ -62,22 +62,44 @@ def test_offline_parity(ref_model, cfg, variables, audio):
     np.testing.assert_allclose(np.asarray(lp_jax), lp_ref.numpy(), atol=1e-4)
 
 
-def test_streaming_parity(ref_model, cfg, variables, audio):
-    """The reference streaming path quantizes features to fp16
-    (tone/nn/model.py:154,:165) while ours computes fp32, so tolerance here is
-    the fp16 noise floor; exact agreement is asserted via the offline path +
-    our own streaming==offline test."""
+def test_streaming_parity(ref_model, cfg, variables):
+    """Tight golden streaming parity over 24 chunks (7.2 s) — well past the
+    mhsa_len ramp-in saturation at chunk 3, exercising the steady-state
+    sliding-window eviction arithmetic.
+
+    The reference streaming entry quantizes the normalized waveform to fp16
+    (tone/nn/model.py:164-165); with ``emulate_reference_fp16`` reproducing
+    that cast the measured divergence is ~4e-4 — a real 1e-2-magnitude
+    streaming bug cannot hide under the tolerance (it previously had to be
+    0.15 without the emulation).
+
+    NB the golden runs on a FRESH reference module: the reference's RoPE
+    cos/sin cache is keyed by length only (submodules.py:129), so running
+    its offline forward first (the earlier test, shared module-scoped
+    fixture) poisons its subsequent streaming outputs at the 1e-2 level —
+    a mutable-state hazard our pure-functional design removes."""
+    from dataclasses import replace
+
+    from tone.training.model_wrapper import ToneConfig as RefConfig, ToneForCTC
+
+    torch.manual_seed(0)
+    ref_model = ToneForCTC(RefConfig()).eval()  # fresh: clean RoPE cache
+    cfg16 = replace(cfg, emulate_reference_fp16=True)
+    rng = np.random.default_rng(7)
+    n_chunks = 24
+    audio = rng.integers(-25000, 25000, (2, 2400 * n_chunks)).astype(np.int32)
     states = ref_model.tone.get_initial_state(batch_size=2, dtype=torch.float32,
                                               target="export")
-    state_j = init_streaming_state(cfg, 2)
+    state_j = init_streaming_state(cfg16, 2)
     with torch.no_grad():
-        for i in range(4):
+        for i in range(n_chunks):
             chunk = audio[:, i * 2400:(i + 1) * 2400]
             out = ref_model.tone.forward_for_export(
                 torch.from_numpy(chunk[:, :, None]), None, *states)
             lp_ref, states = out[0].numpy(), out[1:]
-            lp_j, state_j = apply_streaming(variables, cfg, jnp.asarray(chunk), state_j)
-            np.testing.assert_allclose(np.asarray(lp_j), lp_ref, atol=0.15)
+            lp_j, state_j = apply_streaming(variables, cfg16, jnp.asarray(chunk), state_j)
+            np.testing.assert_allclose(np.asarray(lp_j), lp_ref, atol=2e-3,
+                                       err_msg=f"chunk {i}")
 
 
 def test_frontend_parity(ref_model, cfg, audio):

@@ -162,6 +162,13 @@ class ToneConfig:
     # compute_dtype.  The reference stores its state in fp16
     # (onnx_wrapper.py:34).
     state_dtype: Literal["bfloat16", "float32", "float16"] | None = None
+    # Reproduce the reference streaming path's fp16 quantization points —
+    # the normalized waveform and the frontend carry are rounded to fp16
+    # (reference tone/nn/model.py:164-165) — so golden streaming-parity
+    # tests can assert a tight tolerance (4e-4 measured over 24 chunks vs
+    # 0.15 without the emulation).  Off by default: full precision is
+    # strictly more accurate.
+    emulate_reference_fp16: bool = False
 
     @property
     def resolved_state_dtype(self) -> str:

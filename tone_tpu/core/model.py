@@ -102,7 +102,13 @@ def apply_streaming(
     dtype = jnp.dtype(config.compute_dtype)
 
     wav = audio_chunk.astype(jnp.float32) / INT16_MAX
-    feats, preproc_next = log_mel_streaming(wav, state.preproc.astype(jnp.float32), constants)
+    preproc = state.preproc.astype(jnp.float32)
+    if config.emulate_reference_fp16:
+        # The reference's streaming entry quantizes the normalized waveform
+        # (and hence the 80-sample carry) to fp16 (tone/nn/model.py:164-165).
+        wav = wav.astype(jnp.float16).astype(jnp.float32)
+        preproc = preproc.astype(jnp.float16).astype(jnp.float32)
+    feats, preproc_next = log_mel_streaming(wav, preproc, constants)
 
     encoded, enc_state = encoder_streaming_step(
         variables["params"]["encoder"], variables["batch_stats"], config.encoder,
