@@ -27,6 +27,7 @@ def variables(cfg):
     return init_model_params(jax.random.PRNGKey(0), cfg)
 
 
+@pytest.mark.slow
 def test_export_streaming_roundtrip(tmp_path, cfg, variables):
     from tone_tpu.export import export_streaming, load_exported
 
@@ -56,6 +57,7 @@ def test_torch_interop_roundtrip(cfg, variables):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_torch_interop_loads_into_reference(cfg, variables):
     """The exported state_dict must load into the real reference module."""
     from _reference_compat import install_reference
@@ -102,6 +104,7 @@ def test_batched_greedy_matches_host_decoder(cfg, variables):
     assert host == dev
 
 
+@pytest.mark.slow
 def test_chunk_duration_variants(cfg, variables):
     """400 ms (13 model frames) and 600 ms (20 frames) streaming variants."""
     for ms, expect_frames in ((400, 13), (600, 20)):
@@ -170,3 +173,80 @@ def test_cli_transcribe_smoke(tmp_path):
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["file"] == str(wav_path)
     assert isinstance(payload["phrases"], list)
+
+
+@pytest.mark.slow
+def test_nemo_archive_roundtrip(tmp_path):
+    """save_nemo_archive writes the reference .nemo layout (gzipped tar with
+    ./model_config.yaml + ./model_weights.ckpt under the tone_for_ctc.tone.
+    prefix, tone/nemo_wrapper.py:15 / export.py:528-549) and loads back to
+    the exact same pytree + config."""
+    import tarfile
+
+    import jax
+    import yaml
+
+    from tone_tpu.config import EncoderConfig, ToneConfig
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.interop import load_nemo_archive, save_nemo_archive
+
+    enc = EncoderConfig(
+        n_layers=2, d_model=64, n_heads=4, rope_dim=16, ff_expansion_factor=2,
+        conv_kernel_size=7, subsampling_conv_channels=(4, 8),
+        mhsa_stateless_layers=1, reduction_position=0, upsample_position=1,
+        should_recompute_att_scores=(True, True))
+    cfg = ToneConfig(encoder=enc, compute_dtype="float32")
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    path = tmp_path / "model.nemo"
+    save_nemo_archive(path, variables, cfg)
+
+    with tarfile.open(path, "r:gz") as tar:
+        names = [m.name for m in tar.getmembers()]
+        assert "./model_config.yaml" in names
+        assert "./model_weights.ckpt" in names
+        meta = yaml.safe_load(tar.extractfile("./model_config.yaml").read())
+    assert meta["target"] == "tone.nemo_wrapper.ToneCTCNemoModel"
+    assert meta["decoding"] == {"strategy": "greedy"}
+    assert meta["tone_config"]["encoder_params"]["n_layers"] == 2
+    assert len(meta["tone_config"]["decoder_params"]["vocabulary"]) == 34
+
+    loaded, loaded_cfg = load_nemo_archive(path)
+    assert loaded_cfg.encoder == cfg.encoder
+    assert loaded_cfg.labels == cfg.labels
+    a = jax.tree_util.tree_leaves(variables)
+    b = jax.tree_util.tree_leaves(loaded)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x, np.float32), np.asarray(y, np.float32))
+
+
+@pytest.mark.slow
+def test_nemo_state_dict_loads_into_reference(tmp_path):
+    """The .nemo weights member load_state_dict's cleanly into the real
+    reference ToneForCTC after the wrapper prefix (strict=True)."""
+    import io
+    import tarfile
+
+    import jax
+    import torch
+
+    from tone_tpu.config import ToneConfig
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.interop import save_nemo_archive
+    from tone.training.model_wrapper import ToneConfig as RefConfig, ToneForCTC
+
+    cfg = ToneConfig(compute_dtype="float32")
+    variables = init_model_params(jax.random.PRNGKey(1), cfg)
+    path = tmp_path / "model.nemo"
+    save_nemo_archive(path, variables, cfg)
+
+    with tarfile.open(path, "r:gz") as tar:
+        raw = tar.extractfile("./model_weights.ckpt").read()
+    sd = torch.load(io.BytesIO(raw), map_location="cpu", weights_only=True)
+    stripped = {k.removeprefix("tone_for_ctc."): v for k, v in sd.items()}
+    ref = ToneForCTC(RefConfig())
+    missing, unexpected = ref.load_state_dict(stripped, strict=False)
+    assert not unexpected, unexpected
+    # only torch's BN bookkeeping counters may be absent
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing

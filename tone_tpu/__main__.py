@@ -96,6 +96,9 @@ def main() -> None:
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
     p_ex.add_argument("out_dir", type=Path)
     p_ex.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 64])
+    p_ex.add_argument("--nemo", action="store_true",
+                      help="also write a NeMo-restorable .nemo archive "
+                           "(reference tone/scripts/export.py:528-549)")
     _add_model_args(p_ex)
 
     args = parser.parse_args()
@@ -171,6 +174,13 @@ def main() -> None:
         written = export_streaming(
             pipeline.model.variables, pipeline.model.config,
             args.batch_sizes, args.out_dir)
+        if args.nemo:
+            from tone_tpu.interop import save_nemo_archive
+
+            nemo_path = args.out_dir / "model.nemo"
+            save_nemo_archive(nemo_path, pipeline.model.variables,
+                              pipeline.model.config)
+            written = list(written) + [nemo_path]
         for p in written:
             print(p)
         return

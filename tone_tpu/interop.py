@@ -127,3 +127,144 @@ def save_torch_checkpoint(path, variables, config: ToneConfig | None = None,
 
     sd = to_torch_state_dict(variables, config, prefix)
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(path))
+
+
+# ---------------------------------------------------------------------------
+# Reference-config and .nemo archive interop.
+# ---------------------------------------------------------------------------
+
+
+def to_reference_config(config: ToneConfig | None = None) -> dict:
+    """Our typed config as the reference's HF ``ToneConfig`` dict
+    (tone/training/model_wrapper.py:27-121) — the shape stored in
+    ``config.json`` / ``model_config.yaml`` artifacts."""
+    config = config or ToneConfig()
+    fe, enc = config.frontend, config.encoder
+    return {
+        "feature_extraction_params": {
+            "sample_rate": fe.sample_rate,
+            "window_size": fe.window_size,
+            "window_stride": fe.window_stride,
+            "n_fft": fe.n_fft,
+            "n_mels": fe.n_mels,
+            "preemphasis_coefficient": fe.preemphasis_coefficient,
+        },
+        "encoder_params": {
+            "feat_in": enc.feat_in,
+            "n_layers": enc.n_layers,
+            "subsampling_conv_channels": list(enc.subsampling_conv_channels),
+            "subsampling_kernel_size": [list(k) for k in enc.subsampling_kernel_size],
+            "subsampling_strides": [list(s) for s in enc.subsampling_strides],
+            "ff_expansion_factor": enc.ff_expansion_factor,
+            "n_heads": enc.n_heads,
+            "conv_kernel_size": enc.conv_kernel_size,
+            "dropout": enc.dropout,
+            "dropout_att": enc.dropout_att,
+            "mhsa_stateless_layers": enc.mhsa_stateless_layers,
+            "rope_dim": enc.rope_dim,
+            "should_recompute_att_scores": list(enc.should_recompute_att_scores),
+            "mhsa_state_size": enc.mhsa_state_size,
+            "chunk_size": enc.chunk_size,
+            "d_model": enc.d_model,
+            "reduction_factor": enc.reduction_factor,
+            "reduction_kernel_size": enc.reduction_kernel_size,
+            "reduction_position": enc.reduction_position,
+            "upsample_position": enc.upsample_position,
+        },
+        "decoder_params": {
+            "feat_in": enc.d_model,
+            "vocabulary": list(config.labels),
+        },
+        "pad_token_id": len(config.labels),
+        "ctc_loss_reduction": "mean",
+        "ctc_zero_infinity": True,
+    }
+
+
+def from_reference_config(ref: Mapping[str, Any]) -> ToneConfig:
+    """Inverse of :func:`to_reference_config`."""
+    import dataclasses
+
+    from tone_tpu.config import EncoderConfig, FrontendConfig
+
+    fe = dict(ref.get("feature_extraction_params") or {})
+    enc = dict(ref.get("encoder_params") or {})
+    fe.pop("log_zero_guard_value", None)
+    frontend = FrontendConfig(**{k: v for k, v in fe.items()
+                                 if k in {f.name for f in dataclasses.fields(FrontendConfig)}})
+    enc_fields = {f.name for f in dataclasses.fields(EncoderConfig)}
+    enc = {k: v for k, v in enc.items() if k in enc_fields}
+    for key in ("subsampling_conv_channels", "should_recompute_att_scores"):
+        if key in enc:
+            enc[key] = tuple(enc[key])
+    for key in ("subsampling_kernel_size", "subsampling_strides"):
+        if key in enc:
+            enc[key] = tuple(tuple(x) for x in enc[key])
+    labels = "".join((ref.get("decoder_params") or {}).get("vocabulary") or []) or None
+    kwargs = {"frontend": frontend, "encoder": EncoderConfig(**enc)}
+    if labels:
+        kwargs["labels"] = labels
+    return ToneConfig(**kwargs)
+
+
+_NEMO_PREFIX = "tone_for_ctc.tone."
+
+
+def save_nemo_archive(path, variables, config: ToneConfig | None = None) -> None:
+    """Write a ``.nemo`` archive (reference tone/scripts/export.py:528-549,
+    tone/nemo_wrapper.py:15): a gzipped tar with ``./model_config.yaml``
+    (the ``ToneCTCNemoModel`` cfg) and ``./model_weights.ckpt`` (torch-saved
+    state_dict under the ``tone_for_ctc.tone.`` prefix) — restorable by
+    NeMo's ``ModelPT.restore_from`` with the reference's wrapper class."""
+    import io
+    import tarfile
+    import time
+
+    import torch
+    import yaml
+
+    config = config or ToneConfig()
+    cfg = {
+        "tone_config": to_reference_config(config),
+        "decoding": {"strategy": "greedy"},
+        "target": "tone.nemo_wrapper.ToneCTCNemoModel",
+    }
+    config_bytes = yaml.safe_dump(cfg, sort_keys=False).encode()
+
+    sd = to_torch_state_dict(variables, config, prefix=_NEMO_PREFIX)
+    weights = io.BytesIO()
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, weights)
+
+    def add(tar, name, data):
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        info.mtime = int(time.time())
+        tar.addfile(info, io.BytesIO(data))
+
+    with tarfile.open(str(path), "w:gz") as tar:
+        add(tar, "./model_config.yaml", config_bytes)
+        add(tar, "./model_weights.ckpt", weights.getvalue())
+
+
+def load_nemo_archive(path) -> tuple[dict, ToneConfig]:
+    """Load a ``.nemo`` archive into (variables, ToneConfig)."""
+    import io
+    import tarfile
+
+    import torch
+    import yaml
+
+    from tone_tpu.checkpoint import convert_torch_state_dict
+
+    with tarfile.open(str(path), "r:*") as tar:
+        members = {m.name.lstrip("./"): m for m in tar.getmembers()}
+        cfg_name = next(n for n in members if n.endswith("model_config.yaml"))
+        wts_name = next(n for n in members if n.endswith("model_weights.ckpt"))
+        cfg = yaml.safe_load(tar.extractfile(members[cfg_name]).read())
+        raw = tar.extractfile(members[wts_name]).read()
+    sd = torch.load(io.BytesIO(raw), map_location="cpu", weights_only=True)
+    sd = {(k[len(_NEMO_PREFIX):] if k.startswith(_NEMO_PREFIX) else k): v
+          for k, v in sd.items()}
+    config = from_reference_config(cfg.get("tone_config") or {})
+    return convert_torch_state_dict(sd, config), config
