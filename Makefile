@@ -1,8 +1,11 @@
 .PHONY: test test-fast lint bench serve
 
+# Full suite (incl. full-71M-model jit compiles + golden parity): ~15 min.
 test:
 	python -m pytest tests/ -q
 
+# Inner loop: heavy compiles / e2e / golden-parity tests are marked `slow`.
+# Measured ~1:40 on the dev host (83 tests).
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 

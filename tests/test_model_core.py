@@ -37,6 +37,7 @@ def test_flat_state_size(cfg):
     assert cfg.flat_state_size == 219729
 
 
+@pytest.mark.slow
 def test_streaming_shapes(cfg, variables):
     b = 3
     state = init_streaming_state(cfg, b)
@@ -50,6 +51,7 @@ def test_streaming_shapes(cfg, variables):
     assert jax.tree.map(jnp.shape, state) == jax.tree.map(jnp.shape, state2)
 
 
+@pytest.mark.slow
 def test_streaming_equals_offline(cfg, variables):
     """The central contract: chunked streaming with carried state must equal
     the offline forward with chunk-simulating masks (the reference's design
@@ -71,6 +73,7 @@ def test_streaming_equals_offline(cfg, variables):
     np.testing.assert_allclose(np.asarray(lp_off), lp_str, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_streaming_batch_independence(cfg, variables):
     """Streams in a batch must not interact (state is strictly per-row)."""
     rng = np.random.default_rng(1)
@@ -104,6 +107,7 @@ def test_state_pack_roundtrip(cfg, variables):
     np.testing.assert_allclose(np.asarray(lp2a), np.asarray(lp2b), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_offline_lengths(cfg, variables):
     b = 2
     audio = np.zeros((b, cfg.audio_chunk_samples * 4), np.int32)
@@ -113,6 +117,7 @@ def test_offline_lengths(cfg, variables):
     np.testing.assert_array_equal(np.asarray(out_len), [40, 20])
 
 
+@pytest.mark.slow
 def test_bfloat16_close_to_fp32(variables, cfg):
     """bf16 compute path stays close to fp32 in logprob space."""
     cfg16 = ToneConfig(compute_dtype="bfloat16")

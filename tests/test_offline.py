@@ -23,6 +23,7 @@ def variables(cfg):
     return init_model_params(jax.random.PRNGKey(0), cfg)
 
 
+@pytest.mark.slow
 def test_batched_offline_matches_pipeline(cfg, variables):
     """Same transcripts as the looped-streaming pipeline for mixed-length
     utterances, in input order despite internal length bucketing."""

@@ -32,6 +32,9 @@ _D_MODEL = 64
 _SCORES = (True, False, True, True)
 
 
+
+pytestmark = pytest.mark.slow  # full-model jit compiles dominate
+
 def _tiny_cfg() -> ToneConfig:
     enc = EncoderConfig(
         n_layers=_N_LAYERS, d_model=_D_MODEL, n_heads=4, rope_dim=16,

@@ -1,0 +1,112 @@
+"""Tensor-parallel sharding rules: the Megatron-style column/row splits in
+parallel/mesh.py must actually land on parameters (SURVEY.md §2.3) — a
+renamed tree must fail loudly, never silently replicate."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tone_tpu.config import EncoderConfig, ToneConfig
+from tone_tpu.core.model import init_model_params
+from tone_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    make_mesh,
+    param_shardings,
+    stream_state_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_variables():
+    enc = EncoderConfig(
+        n_layers=2, d_model=64, n_heads=4, rope_dim=16, ff_expansion_factor=2,
+        conv_kernel_size=7, subsampling_conv_channels=(4, 8),
+        mhsa_stateless_layers=1, reduction_position=0, upsample_position=1,
+        should_recompute_att_scores=(True, True))
+    cfg = ToneConfig(encoder=enc, compute_dtype="float32")
+    return cfg, init_model_params(jax.random.PRNGKey(0), cfg)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=4, n_model=2)
+
+
+def test_ff_and_attention_params_are_tensor_parallel(tiny_variables, mesh):
+    _, variables = tiny_variables
+    shardings = param_shardings(mesh, variables["params"])
+    layer = shardings["encoder"]["layers"][0]
+    # column split of GLU in-projections, row split of the out-projection
+    assert layer["ff1"]["lin1"]["w"].spec == P(None, MODEL_AXIS)
+    assert layer["ff1"]["linv"]["w"].spec == P(None, MODEL_AXIS)
+    assert layer["ff1"]["lin2"]["w"].spec == P(MODEL_AXIS, None)
+    assert layer["ff2"]["lin1"]["w"].spec == P(None, MODEL_AXIS)
+    att = layer["att"]
+    assert att["linear_q"]["w"].spec == P(None, MODEL_AXIS)
+    assert att["linear_k"]["w"].spec == P(None, MODEL_AXIS)
+    assert att["linear_v"]["w"].spec == P(None, MODEL_AXIS)
+    assert att["linear_out"]["w"].spec == P(MODEL_AXIS, None)
+    # biases of column-split layers follow the split
+    assert layer["ff1"]["lin1"]["b"].spec == P(MODEL_AXIS)
+    # norms stay replicated
+    assert layer["norm_ff1"]["weight"].spec == P()
+
+
+def test_majority_of_param_bytes_sharded(tiny_variables, mesh):
+    _, variables = tiny_variables
+    shardings = param_shardings(mesh, variables["params"])
+    flat_p = jax.tree_util.tree_leaves(variables["params"])
+    flat_s = jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: hasattr(x, "spec"))
+    total = sum(x.size for x in flat_p)
+    sharded = sum(p.size for p, s in zip(flat_p, flat_s)
+                  if any(e == MODEL_AXIS for e in s.spec))
+    assert sharded / total > 0.5, f"only {sharded/total:.1%} of bytes TP-sharded"
+
+
+def test_renamed_tree_fails_loudly(tiny_variables, mesh):
+    """A renamed parameter tree must raise, not silently de-shard
+    (the round-1 silent-P() hazard)."""
+    _, variables = tiny_variables
+    renamed = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    layers = tuple(
+        {("blk_" + k if k in ("ff1", "ff2", "att") else k): v
+         for k, v in layer.items()}
+        for layer in renamed["encoder"]["layers"])
+    renamed["encoder"]["layers"] = layers
+    with pytest.raises(ValueError, match="TP sharding rules"):
+        param_shardings(mesh, renamed)
+
+
+def test_stream_state_sharded_on_slots(tiny_variables, mesh):
+    from tone_tpu.core.model import init_streaming_state
+
+    cfg, _ = tiny_variables
+    state = init_streaming_state(cfg, 8)
+    shardings = stream_state_shardings(mesh, state)
+    leaves_state = jax.tree_util.tree_leaves(state)
+    leaves_shard = jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: hasattr(x, "spec"))
+    for x, s in zip(leaves_state, leaves_shard):
+        axis = s.spec.index("data")
+        assert x.shape[axis] == 8, (x.shape, s.spec)
+
+
+def test_tp_matmul_actually_partitions(tiny_variables, mesh):
+    """End to end: jit a sharded FF matmul under the mesh and check the
+    compiled output sharding is the TP layout, not replicated."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    _, variables = tiny_variables
+    shardings = param_shardings(mesh, variables["params"])
+    p = variables["params"]["encoder"]["layers"][0]["ff1"]["lin1"]
+    s = shardings["encoder"]["layers"][0]["ff1"]["lin1"]
+    w = jax.device_put(p["w"], s["w"])
+    x = jax.device_put(
+        np.ones((8, p["w"].shape[0]), np.float32),
+        NamedSharding(mesh, P("data", None)))
+
+    y = jax.jit(lambda x, w: x @ w)(x, w)
+    assert y.sharding.spec == P("data", MODEL_AXIS)

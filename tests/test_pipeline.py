@@ -27,6 +27,7 @@ def test_forward_validation(pipeline):
         pipeline.forward(np.zeros(100, np.int32))
 
 
+@pytest.mark.slow
 def test_streaming_api_and_finalize(pipeline):
     rng = np.random.default_rng(0)
     state = None
@@ -62,6 +63,7 @@ def test_offline_equals_streaming(pipeline):
            [(p.text, p.start_time, p.end_time) for p in streamed]
 
 
+@pytest.mark.slow
 def test_model_flat_state_api(pipeline):
     """Reference-compatible flat-state forward on the acoustic model."""
     model = pipeline.model
@@ -91,6 +93,7 @@ def test_public_api_surface():
         assert hasattr(tone_tpu, name), name
 
 
+@pytest.mark.slow
 def test_from_local_torch_checkpoint(tmp_path, pipeline):
     """The artifact loop: export to the reference's torch naming, then build
     a pipeline from that file and get identical transcripts."""

@@ -52,6 +52,7 @@ def audio():
     return rng.integers(-25000, 25000, (2, 2400 * 4)).astype(np.int32)
 
 
+@pytest.mark.slow
 def test_offline_parity(ref_model, cfg, variables, audio):
     lens = np.array([2400 * 4, 2400 * 3], dtype=np.int64)
     with torch.no_grad():
@@ -62,6 +63,7 @@ def test_offline_parity(ref_model, cfg, variables, audio):
     np.testing.assert_allclose(np.asarray(lp_jax), lp_ref.numpy(), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_streaming_parity(ref_model, cfg, variables):
     """Tight golden streaming parity over 24 chunks (7.2 s) — well past the
     mhsa_len ramp-in saturation at chunk 3, exercising the steady-state

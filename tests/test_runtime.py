@@ -41,6 +41,7 @@ def reference_logprobs(variables, cfg, audio):
     return np.concatenate(out, axis=0)
 
 
+@pytest.mark.slow
 def test_arena_masked_update_and_reset(variables, cfg, audio):
     """Inactive slots must keep their state; reset slots must behave like
     brand-new streams."""
@@ -76,6 +77,7 @@ def test_arena_masked_update_and_reset(variables, cfg, audio):
     np.testing.assert_allclose(np.concatenate(got[2]), ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_arena_slot_reuse_is_clean(variables, cfg, audio):
     """A slot reused for a second stream (with reset) must reproduce the
     fresh-stream output exactly."""
@@ -93,6 +95,7 @@ def test_arena_slot_reuse_is_clean(variables, cfg, audio):
         np.testing.assert_allclose(np.concatenate(outs), ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_matches_pipeline(variables, cfg, audio):
     """The batched serving engine must produce the same phrases as the
     single-stream pipeline for identical audio."""
@@ -118,6 +121,7 @@ def test_engine_matches_pipeline(variables, cfg, audio):
            [(p.text, p.start_time, p.end_time) for p in expected]
 
 
+@pytest.mark.slow
 def test_engine_concurrent_streams_identical(variables, cfg, audio):
     """Two concurrent streams with the same audio, joined at different times,
     must produce identical transcripts (no cross-stream interference)."""

@@ -77,9 +77,30 @@ def _param_spec(path: tuple, leaf) -> P:
 
 
 def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding pytree for the model parameters (TP over 'model')."""
+    """NamedSharding pytree for the model parameters (TP over 'model').
+
+    Raises if the mesh has a non-trivial 'model' axis but the name-matching
+    rules sharded (almost) nothing — e.g. after a parameter-tree rename —
+    instead of silently replicating every weight.
+    """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     specs = {path: _param_spec(path, leaf) for path, leaf in flat}
+
+    def uses_model_axis(spec: P) -> bool:
+        return any(e == MODEL_AXIS or (isinstance(e, tuple) and MODEL_AXIS in e)
+                   for e in spec)
+
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        total = sum(getattr(leaf, "size", 0) for _, leaf in flat)
+        sharded = sum(getattr(leaf, "size", 0) for path, leaf in flat
+                      if uses_model_axis(specs[path]))
+        if total and sharded / total < 0.25:
+            raise ValueError(
+                f"tensor-parallel mesh (model={mesh.shape[MODEL_AXIS]}) but "
+                f"only {sharded / total:.1%} of parameter bytes matched the "
+                "TP sharding rules — the parameter tree no longer matches "
+                "_param_spec's naming (ff1/ff2 lin1/linv/lin2, att "
+                "linear_q/k/v/out)")
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, specs[p]) for p, _ in flat])
