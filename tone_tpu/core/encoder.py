@@ -153,7 +153,15 @@ def _init_ff(key, d_model: int, d_ff: int) -> Params:
 def _feed_forward(p: Params, x: jnp.ndarray, dtype, drop_key, rate, training) -> jnp.ndarray:
     """GLU-gated feed-forward: lin2(silu(lin1 x) * linv x) (reference
     conformer_blocks.py:468-482; the reference applies dropout only via the
-    outer layer residual, its inner Dropout is unused in eval)."""
+    outer layer residual, its inner Dropout is unused in eval).
+
+    Serving weights carry the merged in-projection ("lin12", see
+    acoustic.cast_params_for_inference): one (D, 2F) matmul then a split —
+    identical math, one MXU pass over x."""
+    if "lin12" in p:
+        av = L.linear(p["lin12"], x, dtype)
+        a, v = jnp.split(av, 2, axis=-1)
+        return L.linear(p["lin2"], L.silu(a) * v, dtype)
     gate = L.silu(L.linear(p["lin1"], x, dtype))
     return L.linear(p["lin2"], gate * L.linear(p["linv"], x, dtype), dtype)
 

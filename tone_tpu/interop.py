@@ -58,6 +58,21 @@ def _put_bn(out: dict, name: str, p: Mapping, stats: Mapping) -> None:
     out[f"{name}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
 
 
+def _split_ff(ff: Mapping) -> Mapping:
+    """Undo the serving-time GLU merge (acoustic.cast_params_for_inference):
+    lin12 (D, 2F) -> lin1/linv, so inference-cast variables also export."""
+    if "lin12" not in ff:
+        return ff
+    w = np.asarray(ff["lin12"]["w"], np.float32)
+    b = np.asarray(ff["lin12"]["b"], np.float32)
+    f = w.shape[1] // 2
+    return {
+        "lin1": {"w": w[:, :f], "b": b[:f]},
+        "linv": {"w": w[:, f:], "b": b[f:]},
+        "lin2": ff["lin2"],
+    }
+
+
 def to_torch_state_dict(
     variables: Mapping[str, Any],
     config: ToneConfig | None = None,
@@ -87,9 +102,10 @@ def to_torch_state_dict(
     for i, (layer, lstats) in enumerate(zip(enc["layers"], stats["layers"])):
         pfx = f"encoder.layers.{i}"
         _put_rms(out, f"{pfx}.norm_feed_forward1", layer["norm_ff1"])
-        _put_lin(out, f"{pfx}.feed_forward1.linear1", layer["ff1"]["lin1"])
-        _put_lin(out, f"{pfx}.feed_forward1.linearv", layer["ff1"]["linv"])
-        _put_lin(out, f"{pfx}.feed_forward1.linear2", layer["ff1"]["lin2"])
+        ff1 = _split_ff(layer["ff1"])
+        _put_lin(out, f"{pfx}.feed_forward1.linear1", ff1["lin1"])
+        _put_lin(out, f"{pfx}.feed_forward1.linearv", ff1["linv"])
+        _put_lin(out, f"{pfx}.feed_forward1.linear2", ff1["lin2"])
         _put_rms(out, f"{pfx}.norm_self_att", layer["norm_att"])
         att = layer["att"]
         _put_lin(out, f"{pfx}.self_attn.linear_v", att["linear_v"])
@@ -105,9 +121,10 @@ def to_torch_state_dict(
         _put_bn(out, f"{pfx}.conv.batch_norm", layer["conv"]["bn"], lstats["conv_bn"])
         _put_pw_conv1d(out, f"{pfx}.conv.pointwise_conv2", layer["conv"]["pw2"])
         _put_rms(out, f"{pfx}.norm_feed_forward2", layer["norm_ff2"])
-        _put_lin(out, f"{pfx}.feed_forward2.linear1", layer["ff2"]["lin1"])
-        _put_lin(out, f"{pfx}.feed_forward2.linearv", layer["ff2"]["linv"])
-        _put_lin(out, f"{pfx}.feed_forward2.linear2", layer["ff2"]["lin2"])
+        ff2 = _split_ff(layer["ff2"])
+        _put_lin(out, f"{pfx}.feed_forward2.linear1", ff2["lin1"])
+        _put_lin(out, f"{pfx}.feed_forward2.linearv", ff2["linv"])
+        _put_lin(out, f"{pfx}.feed_forward2.linear2", ff2["lin2"])
         _put_rms(out, f"{pfx}.norm_out", layer["norm_out"])
 
     _put_conv(out, "encoder.temportal_reduction.conv", enc["reduction"]["dw"])
