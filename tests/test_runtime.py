@@ -206,3 +206,24 @@ def test_engine_force_evict_notifies(variables, cfg, monkeypatch):
     b = engine.open_stream()  # steals a's slot (a is quiet, grace 0)
     assert a != b
     assert engine.pop_evicted() == [a]
+
+
+def test_engine_interim_transcripts(variables, cfg):
+    """With interim_transcripts on, mid-phrase ticks produce growing partial
+    greedy text that is reset when the phrase finalizes."""
+    engine = MultiStreamEngine(variables, cfg, n_slots=2,
+                               interim_transcripts=True)
+    sid = engine.open_stream()
+    rng = np.random.default_rng(0)
+    saw_interim = []
+    for i in range(6):
+        chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+        engine.feed(sid, chunk, is_last=(i == 5))
+        engine.tick()
+        saw_interim.extend(engine.last_interims.values())
+    # random weights emit *some* non-blank tokens; interim text appeared
+    # and was monotone-growing between phrase boundaries
+    assert saw_interim, "no interim text produced"
+    assert all(isinstance(t, str) and t for t in saw_interim)
+    # stream finished; interim state cleared with the stream
+    assert sid not in engine._streams

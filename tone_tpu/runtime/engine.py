@@ -38,6 +38,10 @@ class _Stream:
     last_activity: float = field(default_factory=time.monotonic)
     finished: bool = False
     sent_samples: int = 0
+    # Interim (in-progress phrase) greedy-decode carry.
+    interim_prev: int = -1          # last argmax token id (CTC collapse)
+    interim_chars: list = field(default_factory=list)
+    interim_sent: str = ""
 
 
 @dataclass
@@ -67,10 +71,18 @@ class MultiStreamEngine:
     IDLE_EVICT_SECONDS = 15.0  # Triton parity: max_sequence_idle 15 s
 
     def __init__(self, variables, config: ToneConfig, n_slots: int = 256,
-                 decoder=None, sharding=None, decode_workers: int = 8) -> None:
+                 decoder=None, sharding=None, decode_workers: int = 8,
+                 interim_transcripts: bool = False) -> None:
+        """``interim_transcripts``: also greedy-decode each in-progress
+        phrase incrementally; ``tick`` then reports partial text per stream
+        (final phrases still use the configured decoder).  A capability the
+        reference deployment does not have — off by default for exact
+        protocol parity."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
+        self.interim_transcripts = interim_transcripts
+        self._labels = config.labels
         self._splitter = BatchLogprobSplitter(n_slots)
         self._streams: dict[int, _Stream] = {}
         self._free_slots = list(range(n_slots))
@@ -81,6 +93,7 @@ class MultiStreamEngine:
                                                thread_name_prefix="ctc-decode")
         self._finished_since_poll: list[int] = []
         self._evicted_since_poll: list[int] = []
+        self.last_interims: dict[int, str] = {}
         self.stats = EngineStats()
 
     # -- stream lifecycle --------------------------------------------------
@@ -183,17 +196,40 @@ class MultiStreamEngine:
 
         slot_ids = np.array([s.slot for _, s, _ in ticking], np.int64)
         lasts = np.array([last for _, _, last in ticking], bool)
-        by_slot = self._splitter.forward_batch(
-            logprobs[slot_ids].astype(np.float32, copy=False), slot_ids, lasts)
+        tick_logprobs = logprobs[slot_ids].astype(np.float32, copy=False)
+        by_slot = self._splitter.forward_batch(tick_logprobs, slot_ids, lasts)
+        argmax = (tick_logprobs.argmax(axis=-1)
+                  if self.interim_transcripts else None)
 
         results: dict[int, list[Future]] = {}
+        interims: dict[int, str] = {}
         finished: list[int] = []
+        blank = len(self._labels)
         with self._lock:
-            for sid, stream, is_last in ticking:
+            for k, (sid, stream, is_last) in enumerate(ticking):
                 phrases = by_slot.get(stream.slot)
                 if phrases:
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p) for p in phrases]
+                if argmax is not None:
+                    if phrases or is_last:
+                        # Phrase boundary: the in-progress text was finalized
+                        # by the real decoder; restart the interim collapse.
+                        stream.interim_prev = -1
+                        stream.interim_chars = []
+                        stream.interim_sent = ""
+                    else:
+                        prev, chars = stream.interim_prev, stream.interim_chars
+                        for t in argmax[k]:
+                            t = int(t)
+                            if t != prev and t != blank:
+                                chars.append(self._labels[t])
+                            prev = t
+                        stream.interim_prev = prev
+                        text = "".join(chars).strip()
+                        if text and text != stream.interim_sent:
+                            stream.interim_sent = text
+                            interims[sid] = text
                 if is_last:
                     stream.finished = True
                     finished.append(sid)
@@ -201,6 +237,7 @@ class MultiStreamEngine:
             for sid in finished:
                 self._release_locked(sid)
             self._finished_since_poll.extend(finished)
+        self.last_interims = interims
 
         self.stats.ticks += 1
         elapsed = time.monotonic() - t0

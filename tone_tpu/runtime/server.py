@@ -62,6 +62,11 @@ class TranscriptionServer:
                     continue
                 for fut in futures:
                     queue.put_nowait(fut)
+            # Partial (in-progress phrase) text, when the engine produces it.
+            for sid, text in getattr(self.engine, "last_interims", {}).items():
+                queue = self._queues.get(sid)
+                if queue is not None:
+                    queue.put_nowait(("interim", text))
             # Deliver EOS markers strictly after that stream's final phrases.
             for sid in self.engine.pop_finished():
                 queue = self._queues.get(sid)
@@ -162,6 +167,10 @@ class TranscriptionServer:
                     await websocket.close(code=CLOSE_EVICTED,
                                           reason="idle timeout: slot reclaimed")
                     return
+                if isinstance(fut, tuple) and fut[0] == "interim":
+                    await websocket.send(json.dumps(
+                        {"event": "interim", "text": fut[1]}, ensure_ascii=False))
+                    continue
                 phrase = await asyncio.wrap_future(fut) if hasattr(fut, "result") else fut
                 await websocket.send(json.dumps({
                     "event": "transcript",
@@ -236,6 +245,9 @@ def main() -> None:
     parser.add_argument("--metrics-port", type=int, default=8002)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    parser.add_argument("--interim", action="store_true",
+                        help="stream partial (in-progress phrase) transcripts "
+                             "as {'event': 'interim'} messages")
     parser.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
     args = parser.parse_args()
 
@@ -261,7 +273,9 @@ def main() -> None:
         decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
                    else BeamSearchCTCDecoder())
 
-    engine = MultiStreamEngine(variables, config, n_slots=args.slots, decoder=decoder)
+    engine = MultiStreamEngine(variables, config, n_slots=args.slots,
+                               decoder=decoder,
+                               interim_transcripts=args.interim)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
