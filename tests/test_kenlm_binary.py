@@ -169,3 +169,34 @@ def test_trie_format_rejected(tmp_path):
     p.write_bytes(bytes(data))
     with pytest.raises(ValueError, match="TRIE"):
         read_kenlm_binary(p)
+
+
+def test_rest_probing_layout(tmp_path):
+    """The REST_PROBING (20-byte-entry) variant parses and scores like the
+    plain probing layout of the same model — exercises the rest-weights
+    strides in both the Python reader and the native scorer."""
+    from tone_tpu.decoding.kenlm_binary import MODEL_REST_PROBING
+
+    ngrams = _synthetic_ngrams(5)
+    p_plain = tmp_path / "plain.bin"
+    p_rest = tmp_path / "rest.bin"
+    write_kenlm_binary(ngrams, p_plain)
+    write_kenlm_binary(ngrams, p_rest, model_type=MODEL_REST_PROBING)
+    assert p_rest.stat().st_size > p_plain.stat().st_size
+
+    a, b = KenLMBinary(p_plain), KenLMBinary(p_rest)
+    assert b._p.model_type == MODEL_REST_PROBING
+    rng = random.Random(2)
+    allw = [w for (w,) in ngrams[0]]
+    for _ in range(500):
+        ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 3)))
+        w = rng.choice(allw)
+        assert a.score(ctx, w) == pytest.approx(b.score(ctx, w), abs=1e-6)
+
+    from tone_tpu.decoding.native.beamsearch import NativeLM, native_available
+    if native_available():
+        cc = NativeLM(p_rest)
+        for _ in range(500):
+            ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 3)))
+            w = rng.choice(allw)
+            assert cc.score(ctx, w) == pytest.approx(a.score(ctx, w), abs=1e-5)

@@ -338,11 +338,19 @@ def write_kenlm_binary(
     probing_multiplier: float = 1.5,
     include_vocab: bool = True,
     unknown_missing_logprob: float = -100.0,
+    model_type: int = MODEL_PROBING,
 ) -> None:
     """Serialize ARPA-style tables (``ArpaLM._ngrams`` layout: ``ngrams[k]``
     maps (k+1)-word tuples to (log10 prob, log10 backoff)) into a KenLM
     probing ``.bin``.  ``<s>``/``</s>``/``<unk>`` are ordinary entries.
+
+    ``model_type=MODEL_REST_PROBING`` emits the 20-byte rest-weights entry
+    stride (rest values zeroed — enough to validate readers of that layout;
+    KenLM's lower-order rest costs are not modeled).
     """
+    if model_type not in (MODEL_PROBING, MODEL_REST_PROBING):
+        raise ValueError(f"unsupported model_type {model_type}")
+    rest = model_type == MODEL_REST_PROBING
     order = len(ngrams)
     if order < 1 or not ngrams[0]:
         raise ValueError("need at least a populated unigram table")
@@ -377,7 +385,9 @@ def write_kenlm_binary(
         _probing_insert(vkeys, lambda i, w=w: vvals.__setitem__(i, ids[w]), h)
 
     # --- unigram array ------------------------------------------------------
-    uni = np.zeros(counts[0] + 1, np.dtype([("prob", "<f4"), ("backoff", "<f4")]))
+    uni_dt = (np.dtype([("prob", "<f4"), ("backoff", "<f4"), ("rest", "<f4")])
+              if rest else np.dtype([("prob", "<f4"), ("backoff", "<f4")]))
+    uni = np.zeros(counts[0] + 1, uni_dt)
     uni["prob"][0] = unknown_missing_logprob
     for (w,), (prob, backoff) in ngrams[0].items():
         uni["prob"][wid(w)] = -abs(prob)   # sign bit = independent-left flag
@@ -385,7 +395,10 @@ def write_kenlm_binary(
     del saw_unk  # <unk> occupies id 0 either way; counts stay ARPA's
 
     # --- middle / longest tables -------------------------------------------
-    mid_dt = np.dtype([("key", "<u8"), ("prob", "<f4"), ("backoff", "<f4")])
+    mid_dt = (np.dtype([("key", "<u8"), ("prob", "<f4"), ("backoff", "<f4"),
+                        ("rest", "<f4")])
+              if rest else
+              np.dtype([("key", "<u8"), ("prob", "<f4"), ("backoff", "<f4")]))
     long_dt = np.dtype([("key", "<u8"), ("prob", "<f4")])
     middles = []
     mid_index: list[dict[int, int]] = []  # key -> bucket, for activation
@@ -439,7 +452,7 @@ def write_kenlm_binary(
     out += struct.pack("<Q", 1)
     assert len(out) == _SANITY_SIZE
     out += struct.pack("<B3xfIB3xI", order, probing_multiplier,
-                       MODEL_PROBING, 1 if include_vocab else 0, 0)
+                       model_type, 1 if include_vocab else 0, 0)
     out += struct.pack(f"<{order}Q", *counts)
     out += b"\x00" * (_align8(len(out)) - len(out))
 
