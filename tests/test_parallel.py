@@ -110,3 +110,36 @@ def test_tp_matmul_actually_partitions(tiny_variables, mesh):
 
     y = jax.jit(lambda x, w: x @ w)(x, w)
     assert y.sharding.spec == P("data", MODEL_AXIS)
+
+
+def test_arena_ticks_on_sharded_mesh(tiny_variables):
+    """Multi-chip serving: the stream arena executes with its slot axis
+    sharded over all 8 virtual devices, and slots behave independently
+    (SURVEY.md §2.3 batch-sharded serving; Triton config.pbtxt:30-37)."""
+    import numpy as np
+
+    from tone_tpu.parallel.mesh import make_mesh, stream_state_shardings
+    from tone_tpu.core.model import init_streaming_state
+    from tone_tpu.runtime.arena import StreamArena
+
+    cfg, variables = tiny_variables
+    mesh = make_mesh(n_data=8, n_model=1)
+    n_slots = 16
+    sharding = stream_state_shardings(mesh, init_streaming_state(cfg, n_slots))
+    arena = StreamArena(variables, cfg, n_slots, sharding=sharding)
+
+    rng = np.random.default_rng(0)
+    chunk = rng.integers(-20000, 20000, (n_slots, cfg.audio_chunk_samples)).astype(np.int16)
+    active = np.ones(n_slots, bool)
+    reset = np.ones(n_slots, bool)
+    lp1 = arena.tick(chunk, active, reset)
+    assert lp1.shape == (n_slots, cfg.encoder.chunk_size, 35)
+    assert np.isfinite(lp1).all()
+    # identical inputs on every slot -> identical outputs across devices
+    same = np.broadcast_to(chunk[:1], chunk.shape).copy()
+    arena2 = StreamArena(variables, cfg, n_slots, sharding=sharding)
+    lp2 = arena2.tick(same, active, np.ones(n_slots, bool))
+    np.testing.assert_allclose(lp2, np.broadcast_to(lp2[:1], lp2.shape), atol=1e-5)
+    # state actually lives sharded on the mesh
+    leaf = jax.tree_util.tree_leaves(arena.state)[0]
+    assert len(leaf.sharding.device_set) == 8
