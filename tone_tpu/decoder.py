@@ -58,6 +58,35 @@ class GreedyCTCDecoder:
         return "".join(LABELS[t] for t in collapsed if t < len(LABELS)).strip()
 
 
+def _native_lm_path(model_path: Path) -> Path:
+    """LM path to hand the native C++ scorer.
+
+    The C++ scorer reads ARPA text and KenLM probing binaries; KenLM *trie*
+    binaries are converted once to an equivalent probing binary in the
+    temp dir (keyed by source identity) and the conversion is reused.
+    """
+    from tone_tpu.decoding.kenlm_binary import kenlm_model_type
+
+    if kenlm_model_type(model_path) not in (2, 3, 4, 5):
+        return model_path
+    import hashlib
+    import tempfile
+
+    stat = model_path.stat()
+    key = hashlib.sha256(
+        f"{model_path.resolve()}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    cached = Path(tempfile.gettempdir()) / f"tone_tpu_lm_{key}.bin"
+    if not cached.exists():
+        from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
+        from tone_tpu.decoding.kenlm_trie import KenLMTrie, trie_to_ngrams
+
+        tmp = cached.with_suffix(".tmp")
+        write_kenlm_binary(trie_to_ngrams(KenLMTrie(model_path)), tmp)
+        tmp.replace(cached)
+    return cached
+
+
 class BeamSearchCTCDecoder:
     """Beam-search CTC decoding with optional n-gram LM shallow fusion.
 
@@ -97,7 +126,7 @@ class BeamSearchCTCDecoder:
         native_lm = None
         if native_available() and model_path.suffix != ".gz":
             try:
-                native_lm = NativeLM(model_path)
+                native_lm = NativeLM(_native_lm_path(model_path))
             except (RuntimeError, ValueError):
                 native_lm = None
         return cls(load_lm(model_path), native_lm=native_lm)

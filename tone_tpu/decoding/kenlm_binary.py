@@ -51,6 +51,7 @@ from tone_tpu.decoding.lm import LanguageModel
 
 __all__ = [
     "KenLMBinary", "read_kenlm_binary", "write_kenlm_binary",
+    "kenlm_model_type",
     "murmur64a", "combine_word_hash",
     "MODEL_PROBING", "MODEL_REST_PROBING",
 ]
@@ -103,6 +104,18 @@ def combine_word_hash(current: int, word_id: int) -> int:
     return ((current * _COMBINE_A) ^ ((1 + word_id) * _COMBINE_B)) & _MASK
 
 
+def kenlm_model_type(path: str | Path) -> int | None:
+    """The ModelType of a KenLM binary (0=PROBING .. 5=QUANT_ARRAY_TRIE),
+    or ``None`` if the file is not a KenLM binary."""
+    with open(path, "rb") as f:
+        header = f.read(_SANITY_SIZE + _FIXED_SIZE)
+    if len(header) < _SANITY_SIZE + _FIXED_SIZE or \
+            header[:len(MAGIC) - 4] != MAGIC[:-4]:
+        return None
+    model_type, = struct.unpack_from("<I", header, _SANITY_SIZE + 8)
+    return model_type
+
+
 def _buckets(entries: int, multiplier: float) -> int:
     # util::ProbingHashTable::Size — note the C float->uint64 truncation.
     return max(entries + 1, int(multiplier * float(entries)))
@@ -146,9 +159,10 @@ def read_kenlm_binary(path: str | Path) -> _ParsedBinary:
         "<fIB3xI", data, _SANITY_SIZE + 4)
     if model_type in _TRIE_TYPES:
         raise ValueError(
-            f"{path}: KenLM {_TRIE_TYPES[model_type]} binaries are not "
-            "supported; rebuild with the (default) probing format "
-            "(`build_binary probing in.arpa out.bin`) or use ARPA text")
+            f"{path}: this is a KenLM {_TRIE_TYPES[model_type]} binary; "
+            "read_kenlm_binary only parses the probing hash-table formats — "
+            "load it via tone_tpu.decoding.kenlm_trie (or load_lm, which "
+            "dispatches on the header)")
     if model_type not in (MODEL_PROBING, MODEL_REST_PROBING):
         raise ValueError(f"{path}: unknown KenLM model type {model_type}")
     counts = list(struct.unpack_from(

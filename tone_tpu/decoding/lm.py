@@ -119,11 +119,18 @@ class ArpaLM(LanguageModel):
 
 
 def load_lm(path: str | Path) -> LanguageModel:
-    """Load an LM file: ARPA text (optionally .gz) or KenLM binary
-    (probing format, as published by the reference — kenlm.bin)."""
+    """Load an LM file: ARPA text (optionally .gz) or a KenLM binary —
+    probing/rest-probing hash tables (the reference's published ``kenlm.bin``
+    flavor) or trie/quant-trie, dispatched on the binary header."""
     path = Path(path)
     head = (gzip.open(path, "rb") if path.suffix == ".gz" else open(path, "rb")).read(9)
     if head.startswith(b"mmap lm "):  # KenLM binary magic
+        from tone_tpu.decoding.kenlm_binary import kenlm_model_type
+
+        if kenlm_model_type(path) in (2, 3, 4, 5):
+            from tone_tpu.decoding.kenlm_trie import KenLMTrie
+
+            return KenLMTrie(path)
         from tone_tpu.decoding.kenlm_binary import KenLMBinary
 
         return KenLMBinary(path)
