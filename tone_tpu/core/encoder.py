@@ -160,6 +160,12 @@ def _feed_forward(p: Params, x: jnp.ndarray, dtype, drop_key, rate, training) ->
     identical math, one MXU pass over x."""
     if "lin12" in p:
         av = L.linear(p["lin12"], x, dtype)
+        from tone_tpu.ops.glu_ff import fused_glu_ff2_enabled, glu_ff2
+
+        if fused_glu_ff2_enabled():
+            # Pallas kernel: gate computed on-chip, no HBM round trip for
+            # the gated product (ops/glu_ff.py).
+            return glu_ff2(av, p["lin2"], dtype)
         a, v = jnp.split(av, 2, axis=-1)
         return L.linear(p["lin2"], L.silu(a) * v, dtype)
     gate = L.silu(L.linear(p["lin1"], x, dtype))
