@@ -227,3 +227,71 @@ def test_engine_interim_transcripts(variables, cfg):
     assert all(isinstance(t, str) and t for t in saw_interim)
     # stream finished; interim state cleared with the stream
     assert sid not in engine._streams
+
+
+def test_engine_interim_beam_transcripts(variables, cfg):
+    """interim_beam mode: partial text comes from the carried-state beam
+    search advanced off-tick; it matches a batch beam decode of the same
+    frames once the in-flight task drains."""
+    from tone_tpu.decoder import BeamSearchCTCDecoder
+    from tone_tpu.decoding.beam import ctc_beam_search
+
+    decoder = BeamSearchCTCDecoder(beam_width=40)
+    engine = MultiStreamEngine(variables, cfg, n_slots=2, decoder=decoder,
+                               interim_beam=True)
+    assert engine.interim_beam and engine.interim_transcripts
+    sid = engine.open_stream()
+    rng = np.random.default_rng(0)
+    frames = []
+    saw = []
+    for i in range(6):
+        chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+        engine.feed(sid, chunk, is_last=(i == 5))
+        engine.tick()
+        stream = engine._streams.get(sid)
+        if stream is not None and stream.beam_task is not None:
+            stream.beam_task.result()  # drain the in-flight advance
+            frames.append(None)  # marker: some frames were consumed
+        saw.extend(engine.last_interims.values())
+        # one extra empty tick surfaces the drained result
+        engine.tick()
+        saw.extend(engine.last_interims.values())
+    assert saw, "no beam interim text produced"
+    assert all(isinstance(t, str) and t for t in saw)
+    assert sid not in engine._streams  # finished and released
+    engine.shutdown()
+
+
+def test_engine_interim_beam_one_inflight_and_queueing(variables, cfg):
+    """At most one advance task is in flight per stream; frames fed while a
+    task runs queue up and are consumed by the next task in order."""
+    from tone_tpu.decoder import BeamSearchCTCDecoder
+
+    decoder = BeamSearchCTCDecoder(beam_width=20)
+    engine = MultiStreamEngine(variables, cfg, n_slots=1, decoder=decoder,
+                               interim_beam=True)
+    sid = engine.open_stream()
+    stream = engine._streams[sid]
+    rng = np.random.default_rng(2)
+    lp = np.log(rng.dirichlet(np.full(35, 0.3), size=30)).astype(np.float32)
+
+    stream.beam_frames.append(lp[:10])
+    engine._maybe_submit_interim_locked(sid, stream)
+    first = stream.beam_task
+    first.result()
+    stream.beam_frames.append(lp[10:20])
+    stream.beam_frames.append(lp[20:])
+    engine._maybe_submit_interim_locked(sid, stream)
+    stream.beam_task.result()
+    assert stream.beam_frames == []
+
+    # the carried search saw all 30 frames exactly once == batch decode
+    from tone_tpu.decoding.beam import ctc_beam_search
+    from tone_tpu.config import LABELS
+
+    assert stream.beam.result() == ctc_beam_search(
+        lp.astype(np.float64), LABELS, None, beam_width=20)
+    with engine._interim_lock:
+        assert engine._interim_results.get(sid) == stream.beam.result()
+    engine.close(sid)
+    engine.shutdown()

@@ -158,3 +158,26 @@ class BeamSearchCTCDecoder:
             logprobs.astype(np.float64), LABELS, self._lm,
             alpha=self.alpha, beta=self.beta, beam_width=self.beam_width,
         )
+
+    def streaming(self):
+        """A carried-state decoder for incremental transcription: feed
+        logprob frames as they arrive with ``advance(logprobs)``, read the
+        current best with ``result()``, restart with ``reset()``.
+
+        Prefix beam search is frame-sequential, so advancing chunk by chunk
+        gives exactly ``forward()`` over the concatenated frames — this is
+        what powers low-latency LM-quality interim transcripts in the
+        serving engine, a capability beyond the reference (which decodes
+        only completed phrases).
+        """
+        if self._use_native:
+            from tone_tpu.decoding.native.beamsearch import NativeStreamingBeam
+
+            return NativeStreamingBeam(
+                LABELS, self._native_lm, alpha=self.alpha, beta=self.beta,
+                beam_width=self.beam_width)
+        from tone_tpu.decoding.beam import StreamingBeamSearch
+
+        return StreamingBeamSearch(
+            LABELS, self._lm, alpha=self.alpha, beta=self.beta,
+            beam_width=self.beam_width)

@@ -6,9 +6,22 @@ from pyctcdecode + KenLM (tone/decoder.py:108-133): beam width 200, LM weight
 word-insertion bonus ``beta`` per completed word — the same scoring scheme as
 pyctcdecode's shallow-fusion defaults.
 
+The search is exposed in two forms:
+
+* :func:`ctc_beam_search` — decode a whole (T, V) logprob matrix (the
+  reference's per-phrase usage, tone/decoder.py:133);
+* :class:`StreamingBeamSearch` — the same search as carried state:
+  ``advance(frames)`` consumes logprobs as they arrive and ``result()``
+  reads the current best hypothesis without finalizing.  Prefix beam search
+  is frame-sequential, so the incremental path is *exactly* the batch path
+  (tests/test_streaming_beam.py asserts equality) — this is what the serving
+  layer uses for low-latency interim transcripts, a capability beyond the
+  reference (which only decodes completed phrases).
+
 This pure-Python implementation is the reference/fallback path; the C++
-scorer in ``tone_tpu/decoding/native`` implements the identical algorithm for
-production throughput (host-side, decoupled from the TPU tick loop).
+decoder in ``tone_tpu/decoding/native`` implements the identical algorithm
+(both forms) for production throughput (host-side, decoupled from the TPU
+tick loop).
 """
 
 from __future__ import annotations
@@ -51,6 +64,133 @@ def _logsumexp2(a: float, b: float) -> float:
     return m + math.log(math.exp(a - m) + math.exp(b - m))
 
 
+class StreamingBeamSearch:
+    """CTC prefix beam search over an unbounded frame stream.
+
+    The carried state is the pruned beam set; feeding frames in any split
+    produces the same beams as one batch pass (the algorithm is
+    frame-sequential).  ``result()`` applies the final trailing-word LM
+    scoring to a *copy* of the ranking, so it can be read every tick for
+    interim transcripts and again after the last frame.
+    """
+
+    def __init__(
+        self,
+        labels: str,
+        lm: "LanguageModel | None" = None,
+        *,
+        alpha: float = 0.4,
+        beta: float = 0.9,
+        beam_width: int = 200,
+        token_min_logp: float = -5.0,
+        blank_id: int | None = None,
+    ) -> None:
+        self.labels = labels
+        self.lm = lm
+        self.alpha = alpha
+        self.beta = beta
+        self.beam_width = beam_width
+        self.token_min_logp = token_min_logp
+        self.blank_id = blank_id
+        self.reset()
+
+    def reset(self) -> None:
+        init_ctx = self.lm.begin_context() if self.lm is not None else ()
+        self._beams: dict[tuple[str, str, str], _Beam] = {
+            ("", "", ""): _Beam("", "", "", 0.0, NEG_INF, 0.0, init_ctx),
+        }
+
+    def _lm_word_score(self, context: tuple[str, ...], word: str) -> float:
+        if self.lm is None or not word:
+            return 0.0
+        return self.alpha * self.lm.score(context, word) * LOG10_TO_LN + self.beta
+
+    def advance(self, logprobs: np.ndarray) -> None:
+        """Consume (T, V) natural-log probability frames."""
+        logprobs = np.asarray(logprobs, dtype=np.float64)
+        t_max, n_classes = logprobs.shape
+        blank_id = self.blank_id if self.blank_id is not None else n_classes - 1
+        labels = self.labels
+        lm = self.lm
+        beams = self._beams
+
+        for t in range(t_max):
+            frame = logprobs[t]
+            best_tok = int(frame.argmax())
+            tokens = np.flatnonzero(frame >= self.token_min_logp)
+            if best_tok not in tokens:
+                tokens = np.append(tokens, best_tok)
+
+            next_beams: dict[tuple[str, str, str], _Beam] = {}
+
+            def merge(key, text, partial, last_char, p_b, p_nb, lm_score, context):
+                b = next_beams.get(key)
+                if b is None:
+                    next_beams[key] = _Beam(text, partial, last_char, p_b, p_nb,
+                                            lm_score, context)
+                else:
+                    b.p_b = _logsumexp2(b.p_b, p_b)
+                    b.p_nb = _logsumexp2(b.p_nb, p_nb)
+
+            for beam in beams.values():
+                p_total = _logsumexp2(beam.p_b, beam.p_nb)
+                for tok in tokens:
+                    p = float(frame[tok])
+                    if tok == blank_id:
+                        merge((beam.text, beam.partial, beam.last_char),
+                              beam.text, beam.partial, beam.last_char,
+                              p_total + p, NEG_INF, beam.lm_score, beam.context)
+                        continue
+                    char = labels[tok]
+                    if char == beam.last_char:
+                        # Same char: extends the run (no new symbol) from p_nb...
+                        merge((beam.text, beam.partial, beam.last_char),
+                              beam.text, beam.partial, beam.last_char,
+                              NEG_INF, beam.p_nb + p, beam.lm_score, beam.context)
+                        # ...or a new symbol after an explicit blank.
+                        src = beam.p_b
+                    else:
+                        src = p_total
+                    if src == NEG_INF:
+                        continue
+                    if char == " ":
+                        # Word boundary: score the completed partial word.
+                        # Consecutive spaces collapse (empty words are dropped).
+                        word = beam.partial
+                        new_text = beam.text + word + " " if word else beam.text
+                        new_ctx = (beam.context + (word,)
+                                   if (lm is not None and word) else beam.context)
+                        merge((new_text, "", " "),
+                              new_text, "", " ",
+                              NEG_INF, src + p,
+                              beam.lm_score + self._lm_word_score(beam.context, word),
+                              new_ctx)
+                    else:
+                        merge((beam.text, beam.partial + char, char),
+                              beam.text, beam.partial + char, char,
+                              NEG_INF, src + p, beam.lm_score, beam.context)
+
+            # Deterministic prune: total desc, then prefix text asc as the tie
+            # break (insertion-order-independent; matches the native decoder).
+            pruned = sorted(next_beams.values(),
+                            key=lambda b: (-b.total(), b.text + b.partial)
+                            )[:self.beam_width]
+            beams = {(b.text, b.partial, b.last_char): b for b in pruned}
+
+        self._beams = beams
+
+    def result(self) -> str:
+        """Best hypothesis so far: trailing partial words get their final LM
+        score for the ranking (non-destructive — advancing may still change
+        the outcome)."""
+        def final_key(b: _Beam):
+            return (-(b.total() + self._lm_word_score(b.context, b.partial)),
+                    b.text + b.partial)
+
+        best = min(self._beams.values(), key=final_key)
+        return (best.text + best.partial).strip()
+
+
 def ctc_beam_search(
     logprobs: np.ndarray,
     labels: str,
@@ -79,86 +219,8 @@ def ctc_beam_search(
     Returns:
         The decoded text (stripped).
     """
-    t_max, n_classes = logprobs.shape
-    if blank_id is None:
-        blank_id = n_classes - 1
-
-    def lm_word_score(context: tuple[str, ...], word: str) -> float:
-        if lm is None or not word:
-            return 0.0
-        return alpha * lm.score(context, word) * LOG10_TO_LN + beta
-
-    init_ctx = lm.begin_context() if lm is not None else ()
-    beams: dict[tuple[str, str, str], _Beam] = {
-        ("", "", ""): _Beam("", "", "", 0.0, NEG_INF, 0.0, init_ctx),
-    }
-
-    for t in range(t_max):
-        frame = logprobs[t]
-        best_tok = int(frame.argmax())
-        tokens = np.flatnonzero(frame >= token_min_logp)
-        if best_tok not in tokens:
-            tokens = np.append(tokens, best_tok)
-
-        next_beams: dict[tuple[str, str, str], _Beam] = {}
-
-        def merge(key, text, partial, last_char, p_b, p_nb, lm_score, context):
-            b = next_beams.get(key)
-            if b is None:
-                next_beams[key] = _Beam(text, partial, last_char, p_b, p_nb,
-                                        lm_score, context)
-            else:
-                b.p_b = _logsumexp2(b.p_b, p_b)
-                b.p_nb = _logsumexp2(b.p_nb, p_nb)
-
-        for beam in beams.values():
-            p_total = _logsumexp2(beam.p_b, beam.p_nb)
-            for tok in tokens:
-                p = float(frame[tok])
-                if tok == blank_id:
-                    merge((beam.text, beam.partial, beam.last_char),
-                          beam.text, beam.partial, beam.last_char,
-                          p_total + p, NEG_INF, beam.lm_score, beam.context)
-                    continue
-                char = labels[tok]
-                if char == beam.last_char:
-                    # Same char: extends the run (no new symbol) from p_nb...
-                    merge((beam.text, beam.partial, beam.last_char),
-                          beam.text, beam.partial, beam.last_char,
-                          NEG_INF, beam.p_nb + p, beam.lm_score, beam.context)
-                    # ...or a new symbol after an explicit blank.
-                    src = beam.p_b
-                else:
-                    src = p_total
-                if src == NEG_INF:
-                    continue
-                if char == " ":
-                    # Word boundary: score the completed partial word.
-                    # Consecutive spaces collapse (empty words are dropped).
-                    word = beam.partial
-                    new_text = beam.text + word + " " if word else beam.text
-                    new_ctx = beam.context + (word,) if (lm is not None and word) else beam.context
-                    merge((new_text, "", " "),
-                          new_text, "", " ",
-                          NEG_INF, src + p,
-                          beam.lm_score + lm_word_score(beam.context, word),
-                          new_ctx)
-                else:
-                    merge((beam.text, beam.partial + char, char),
-                          beam.text, beam.partial + char, char,
-                          NEG_INF, src + p, beam.lm_score, beam.context)
-
-        # Deterministic prune: total desc, then prefix text asc as the tie
-        # break (insertion-order-independent; matches the native decoder).
-        pruned = sorted(next_beams.values(),
-                        key=lambda b: (-b.total(), b.text + b.partial))[:beam_width]
-        beams = {(b.text, b.partial, b.last_char): b for b in pruned}
-
-    # Finalize: score trailing partial words, pick the best beam
-    # (deterministic tie-break on the text, as in pruning).
-    def final_key(b: _Beam):
-        return (-(b.total() + lm_word_score(b.context, b.partial)),
-                b.text + b.partial)
-
-    best = min(beams.values(), key=final_key)
-    return (best.text + best.partial).strip()
+    search = StreamingBeamSearch(
+        labels, lm, alpha=alpha, beta=beta, beam_width=beam_width,
+        token_min_logp=token_min_logp, blank_id=blank_id)
+    search.advance(logprobs)
+    return search.result()

@@ -71,6 +71,22 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_double, ctypes.c_double, ctypes.c_int,
                 ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
             ]
+            lib.tone_beam_create.restype = ctypes.c_void_p
+            lib.tone_beam_create.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int,
+                ctypes.c_double,
+            ]
+            lib.tone_beam_advance.restype = ctypes.c_int
+            lib.tone_beam_advance.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.tone_beam_result.restype = ctypes.c_int
+            lib.tone_beam_result.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+            lib.tone_beam_reset.argtypes = [ctypes.c_void_p]
+            lib.tone_beam_free.argtypes = [ctypes.c_void_p]
             _lib = lib
     return _lib
 
@@ -117,6 +133,57 @@ class NativeLM:
 
 
 NativeArpaLM = NativeLM  # backwards-compatible name
+
+
+class NativeStreamingBeam:
+    """Carried-state CTC prefix beam search (native twin of
+    tone_tpu.decoding.beam.StreamingBeamSearch): feed logprob frames as they
+    arrive, read the current best at any point.  Holds a reference to the
+    ``NativeLM`` (the C++ handle must outlive this object)."""
+
+    def __init__(self, labels: str, lm: "NativeLM | None" = None, *,
+                 alpha: float = 0.4, beta: float = 0.9,
+                 beam_width: int = 200, token_min_logp: float = -5.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native decoder unavailable (no C++ toolchain)")
+        self._lib = lib
+        self._lm = lm  # keep the LM handle alive
+        self._labels = labels
+        handle = lib.tone_beam_create(
+            "\n".join(labels).encode("utf-8"), len(labels),
+            lm._handle if lm is not None else None,
+            alpha, beta, beam_width, token_min_logp)
+        if not handle:
+            raise RuntimeError("failed to create native streaming decoder")
+        self._handle = handle
+        self._buf = ctypes.create_string_buffer(1 << 16)
+
+    def advance(self, logprobs: np.ndarray) -> None:
+        """Consume (T, V) natural-log probability frames."""
+        lp = np.ascontiguousarray(logprobs, dtype=np.float32)
+        t_max, n_classes = lp.shape
+        rc = self._lib.tone_beam_advance(
+            self._handle, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            t_max, n_classes)
+        if rc != 0:
+            raise RuntimeError("native streaming beam advance failed")
+
+    def result(self) -> str:
+        """Best hypothesis so far (non-destructive)."""
+        n = self._lib.tone_beam_result(self._handle, self._buf, len(self._buf))
+        if n < 0:
+            raise RuntimeError("native streaming beam result failed")
+        return self._buf.value.decode("utf-8")
+
+    def reset(self) -> None:
+        self._lib.tone_beam_reset(self._handle)
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.tone_beam_free(handle)
+            self._handle = None
 
 
 def ctc_beam_search_native(

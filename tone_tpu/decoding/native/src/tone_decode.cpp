@@ -431,6 +431,23 @@ struct Decoder {
   int space_id = -1;
 };
 
+// labels_joined: n_labels UTF-8 strings separated by '\n'.
+bool parse_labels(const char* labels_joined, int n_labels, Decoder& dec) {
+  std::string all(labels_joined);
+  size_t pos = 0;
+  for (int i = 0; i < n_labels; ++i) {
+    size_t nl = all.find('\n', pos);
+    std::string lab = all.substr(pos, nl == std::string::npos
+                                          ? std::string::npos
+                                          : nl - pos);
+    dec.labels.push_back(lab);
+    if (lab == " ") dec.space_id = i;
+    if (nl == std::string::npos) break;
+    pos = nl + 1;
+  }
+  return (int)dec.labels.size() == n_labels;
+}
+
 // word string from seq[start, end)
 std::string word_of(const Decoder& dec, const std::vector<int32_t>& seq,
                     int start, int end) {
@@ -446,20 +463,50 @@ double lm_word_contrib(const LM* lm, double alpha, double beta,
   return alpha * s * kLog10ToLn + beta;
 }
 
+// The search as carried state: advance() consumes frames as they arrive,
+// result() reads the current best without finalizing.  Prefix beam search is
+// frame-sequential, so feeding frames incrementally is exactly the batch
+// pass (the Python twin in tone_tpu/decoding/beam.py has the same shape).
+struct StreamingBeamSearch {
+  Decoder dec;
+  const LM* lm = nullptr;
+  double alpha = 0.4, beta = 0.9, token_min_logp = -5.0;
+  int beam_width = 200;
+
+  std::vector<Beam> beams;
+  // scratch, reused across frames
+  std::unordered_map<CandKey, Beam, CandHash> next;
+  std::vector<int> tokens;
+
+  void reset() {
+    beams.assign(1, Beam());
+    if (lm != nullptr) beams[0].ctx.push_back(lm->word_id("<s>"));
+    beams[0].p_b = 0.0f;
+  }
+
+  void advance(const float* logprobs, int t_max, int n_classes);
+  std::string result() const;
+};
+
 std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
                         int n_classes, const LM* lm, double alpha,
                         double beta, int beam_width, double token_min_logp) {
-  const int blank = n_classes - 1;
-  std::vector<Beam> beams(1);
-  if (lm != nullptr) {
-    int32_t bos = lm->word_id("<s>");
-    beams[0].ctx.push_back(bos);
-  }
-  beams[0].p_b = 0.0f;
+  StreamingBeamSearch s;
+  s.dec = dec;
+  s.lm = lm;
+  s.alpha = alpha;
+  s.beta = beta;
+  s.beam_width = beam_width;
+  s.token_min_logp = token_min_logp;
+  s.next.reserve(4096);
+  s.reset();
+  s.advance(logprobs, t_max, n_classes);
+  return s.result();
+}
 
-  std::unordered_map<CandKey, Beam, CandHash> next;
-  next.reserve(4096);
-  std::vector<int> tokens;
+void StreamingBeamSearch::advance(const float* logprobs, int t_max,
+                                  int n_classes) {
+  const int blank = n_classes - 1;
   tokens.reserve(n_classes);
 
   for (int t = 0; t < t_max; ++t) {
@@ -557,7 +604,7 @@ std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
     std::vector<Beam> pruned;
     pruned.reserve(next.size());
     for (auto& kv : next) pruned.push_back(std::move(kv.second));
-    auto cmp = [&dec](const Beam& a, const Beam& b) {
+    auto cmp = [&](const Beam& a, const Beam& b) {
       double ta = a.total(), tb = b.total();
       if (ta != tb) return ta > tb;
       size_t n = std::min(a.seq.size(), b.seq.size());
@@ -574,11 +621,13 @@ std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
     }
     beams = std::move(pruned);
   }
+}
 
-  // finalize: score trailing partial word, pick the best
+std::string StreamingBeamSearch::result() const {
+  // score trailing partial words for the ranking, pick the best
   const Beam* best = nullptr;
   double best_score = kNegInf;
-  auto text_less = [&dec](const Beam& a, const Beam& b) {
+  auto text_less = [&](const Beam& a, const Beam& b) {
     size_t n = std::min(a.seq.size(), b.seq.size());
     for (size_t i = 0; i < n; ++i)
       if (a.seq[i] != b.seq[i])
@@ -645,21 +694,7 @@ int tone_ctc_beam_search(const float* logprobs, int t_max, int n_classes,
                          double alpha, double beta, int beam_width,
                          double token_min_logp, char* out, int out_cap) {
   Decoder dec;
-  {
-    std::string all(labels_joined);
-    size_t pos = 0;
-    for (int i = 0; i < n_labels; ++i) {
-      size_t nl = all.find('\n', pos);
-      std::string lab = all.substr(pos, nl == std::string::npos
-                                            ? std::string::npos
-                                            : nl - pos);
-      dec.labels.push_back(lab);
-      if (lab == " ") dec.space_id = i;
-      if (nl == std::string::npos) break;
-      pos = nl + 1;
-    }
-    if ((int)dec.labels.size() != n_labels) return -1;
-  }
+  if (!parse_labels(labels_joined, n_labels, dec)) return -1;
   std::string text =
       beam_search(dec, logprobs, t_max, n_classes,
                   static_cast<LM*>(lm), alpha, beta, beam_width,
@@ -667,6 +702,54 @@ int tone_ctc_beam_search(const float* logprobs, int t_max, int n_classes,
   if ((int)text.size() + 1 > out_cap) return -1;
   std::memcpy(out, text.c_str(), text.size() + 1);
   return (int)text.size();
+}
+
+// ---- streaming (incremental) beam search ----------------------------------
+// A handle carries the pruned beam set between calls; feeding frames in any
+// split yields exactly the batch result.  The LM handle (if any) must stay
+// alive for the handle's lifetime (the Python wrapper holds a reference).
+
+void* tone_beam_create(const char* labels_joined, int n_labels, void* lm,
+                       double alpha, double beta, int beam_width,
+                       double token_min_logp) {
+  auto s = std::make_unique<StreamingBeamSearch>();
+  if (!parse_labels(labels_joined, n_labels, s->dec)) return nullptr;
+  s->lm = static_cast<LM*>(lm);
+  s->alpha = alpha;
+  s->beta = beta;
+  s->beam_width = beam_width;
+  s->token_min_logp = token_min_logp;
+  s->next.reserve(4096);
+  s->reset();
+  return s.release();
+}
+
+// Consume (t_max, n_classes) frames. Returns 0, or -1 on error.
+int tone_beam_advance(void* handle, const float* logprobs, int t_max,
+                      int n_classes) {
+  if (handle == nullptr || t_max < 0 || n_classes < 2) return -1;
+  static_cast<StreamingBeamSearch*>(handle)->advance(logprobs, t_max,
+                                                     n_classes);
+  return 0;
+}
+
+// Current best hypothesis (non-destructive). Returns bytes written
+// (excluding NUL), or -1 on error / insufficient buffer.
+int tone_beam_result(void* handle, char* out, int out_cap) {
+  if (handle == nullptr) return -1;
+  std::string text = static_cast<StreamingBeamSearch*>(handle)->result();
+  if ((int)text.size() + 1 > out_cap) return -1;
+  std::memcpy(out, text.c_str(), text.size() + 1);
+  return (int)text.size();
+}
+
+// Restart the search (keeps labels/LM/params).
+void tone_beam_reset(void* handle) {
+  if (handle != nullptr) static_cast<StreamingBeamSearch*>(handle)->reset();
+}
+
+void tone_beam_free(void* handle) {
+  delete static_cast<StreamingBeamSearch*>(handle);
 }
 
 }  // extern "C"

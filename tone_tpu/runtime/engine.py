@@ -42,6 +42,15 @@ class _Stream:
     interim_prev: int = -1          # last argmax token id (CTC collapse)
     interim_chars: list = field(default_factory=list)
     interim_sent: str = ""
+    # Interim beam-decode carry (interim_beam mode): a carried-state beam
+    # search advanced off-tick on the decode pool, one task in flight per
+    # stream; frames queue here between tasks, a phrase boundary folds into
+    # the next task as a reset.
+    beam: object = None
+    beam_frames: list = field(default_factory=list)
+    beam_task: Future | None = None
+    beam_reset: bool = False
+    beam_gen: int = 0               # bumped at boundaries; stale results drop
 
 
 @dataclass
@@ -72,16 +81,26 @@ class MultiStreamEngine:
 
     def __init__(self, variables, config: ToneConfig, n_slots: int = 256,
                  decoder=None, sharding=None, decode_workers: int = 8,
-                 interim_transcripts: bool = False) -> None:
-        """``interim_transcripts``: also greedy-decode each in-progress
-        phrase incrementally; ``tick`` then reports partial text per stream
-        (final phrases still use the configured decoder).  A capability the
+                 interim_transcripts: bool = False,
+                 interim_beam: bool = False) -> None:
+        """``interim_transcripts``: also decode each in-progress phrase
+        incrementally; ``tick`` then reports partial text per stream (final
+        phrases still use the configured decoder).  A capability the
         reference deployment does not have — off by default for exact
-        protocol parity."""
+        protocol parity.
+
+        ``interim_beam``: interim text comes from a carried-state beam
+        search (``decoder.streaming()``) advanced on the decode pool —
+        LM-quality partials with the per-tick cost spread off the tick
+        thread (at most one in-flight advance per stream; results surface
+        on the following tick).  Default is the in-tick greedy collapse,
+        which is vectorized and effectively free."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
-        self.interim_transcripts = interim_transcripts
+        self.interim_transcripts = interim_transcripts or interim_beam
+        self.interim_beam = interim_beam and hasattr(decoder, "streaming")
+        self._interim_results: dict[int, str] = {}
         self._labels = config.labels
         self._splitter = BatchLogprobSplitter(n_slots)
         self._streams: dict[int, _Stream] = {}
@@ -89,6 +108,7 @@ class MultiStreamEngine:
         self._slot_reset = np.zeros(n_slots, bool)
         self._next_id = 0
         self._lock = threading.Lock()
+        self._interim_lock = threading.Lock()  # guards _interim_results only
         self._decode_pool = ThreadPoolExecutor(max_workers=decode_workers,
                                                thread_name_prefix="ctc-decode")
         self._finished_since_poll: list[int] = []
@@ -199,7 +219,8 @@ class MultiStreamEngine:
         tick_logprobs = logprobs[slot_ids].astype(np.float32, copy=False)
         by_slot = self._splitter.forward_batch(tick_logprobs, slot_ids, lasts)
         argmax = (tick_logprobs.argmax(axis=-1)
-                  if self.interim_transcripts else None)
+                  if self.interim_transcripts and not self.interim_beam
+                  else None)
 
         results: dict[int, list[Future]] = {}
         interims: dict[int, str] = {}
@@ -211,7 +232,20 @@ class MultiStreamEngine:
                 if phrases:
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p) for p in phrases]
-                if argmax is not None:
+                if self.interim_beam:
+                    if phrases or is_last:
+                        # Phrase boundary: the in-progress text was finalized
+                        # by the real decoder; restart the carried search.
+                        stream.beam_reset = True
+                        stream.beam_gen += 1
+                        stream.beam_frames.clear()
+                        stream.interim_sent = ""
+                    else:
+                        stream.beam_frames.append(
+                            np.ascontiguousarray(tick_logprobs[k]))
+                    if not is_last:
+                        self._maybe_submit_interim_locked(sid, stream)
+                elif argmax is not None:
                     if phrases or is_last:
                         # Phrase boundary: the in-progress text was finalized
                         # by the real decoder; restart the interim collapse.
@@ -237,6 +271,21 @@ class MultiStreamEngine:
             for sid in finished:
                 self._release_locked(sid)
             self._finished_since_poll.extend(finished)
+
+        if self.interim_beam:
+            # Surface beam-interim texts completed since the last tick.
+            with self._interim_lock:
+                done_interims = self._interim_results
+                self._interim_results = {}
+            if done_interims:
+                with self._lock:
+                    for sid, text in done_interims.items():
+                        stream = self._streams.get(sid)
+                        if stream is None:
+                            continue
+                        if text and text != stream.interim_sent:
+                            stream.interim_sent = text
+                            interims[sid] = text
         self.last_interims = interims
 
         self.stats.ticks += 1
@@ -263,6 +312,37 @@ class MultiStreamEngine:
             out = self._evicted_since_poll
             self._evicted_since_poll = []
             return out
+
+    def _maybe_submit_interim_locked(self, sid: int, stream: _Stream) -> None:
+        """Kick the stream's carried beam search on the decode pool (at most
+        one in-flight advance per stream; frames queue between tasks, a
+        boundary folds into the next task as a reset)."""
+        if stream.beam_task is not None and not stream.beam_task.done():
+            return
+        if not stream.beam_frames and not stream.beam_reset:
+            return
+        if stream.beam is None:
+            stream.beam = self.decoder.streaming()
+        beam = stream.beam
+        frames = stream.beam_frames
+        stream.beam_frames = []
+        do_reset, stream.beam_reset = stream.beam_reset, False
+        gen = stream.beam_gen
+
+        def work():
+            if do_reset:
+                beam.reset()
+            if frames:
+                beam.advance(np.concatenate(frames, axis=0))
+            text = beam.result()
+            # Store on the worker (not a done-callback) so per-stream store
+            # order matches task order; drop if a boundary superseded us.
+            with self._interim_lock:
+                if stream.beam_gen == gen:
+                    self._interim_results[sid] = text
+            return text
+
+        stream.beam_task = self._decode_pool.submit(work)
 
     def _decode(self, logprob_phrase) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder

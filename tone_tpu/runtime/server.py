@@ -248,6 +248,10 @@ def main() -> None:
     parser.add_argument("--interim", action="store_true",
                         help="stream partial (in-progress phrase) transcripts "
                              "as {'event': 'interim'} messages")
+    parser.add_argument("--interim-beam", action="store_true",
+                        help="interim transcripts from a carried-state beam "
+                             "search (LM-quality partials; implies --interim, "
+                             "needs --decoder beam)")
     parser.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
     args = parser.parse_args()
 
@@ -275,7 +279,8 @@ def main() -> None:
 
     engine = MultiStreamEngine(variables, config, n_slots=args.slots,
                                decoder=decoder,
-                               interim_transcripts=args.interim)
+                               interim_transcripts=args.interim,
+                               interim_beam=args.interim_beam)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
