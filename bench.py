@@ -42,7 +42,7 @@ def main() -> None:
     model = StreamingCTCModel(variables, config)
 
     backend = jax.default_backend()
-    candidates = [128, 512, 1024] if backend == "tpu" else [8, 16]
+    candidates = [128, 512, 1024, 1280] if backend == "tpu" else [8, 16]
 
     best_rtfx = 0.0
     best = {}

@@ -242,18 +242,18 @@ def test_native_scorer_matches_python_via_conversion(trie_pair):
         assert cc.score(ctx, w) == pytest.approx(py.score(ctx, w), abs=1e-5)
 
 
-def test_array_trie_rejected(tmp_path):
+def test_non_trie_type_rejected(tmp_path):
     import struct
 
     from tone_tpu.decoding.kenlm_binary import MAGIC, _MAGIC_PAD, _SANITY_SIZE
 
     data = bytearray(MAGIC.ljust(_MAGIC_PAD, b"\x00"))
     data += b"\x00" * (_SANITY_SIZE - len(data))
-    data += struct.pack("<B3xfIB3xI", 3, 1.5, 4, 0, 1)  # ARRAY_TRIE
+    data += struct.pack("<B3xfIB3xI", 3, 1.5, 0, 0, 1)  # PROBING
     data += struct.pack("<3Q", 10, 10, 10)
-    p = tmp_path / "array.bin"
+    p = tmp_path / "probing.bin"
     p.write_bytes(bytes(data))
-    with pytest.raises(ValueError, match="ARRAY_TRIE"):
+    with pytest.raises(ValueError, match="probing"):
         read_kenlm_trie(p)
 
 
@@ -267,3 +267,94 @@ def test_unknown_words_map_to_unk(trie_pair):
     # trie ids are hash-rank ids: dense in [0, vocab)
     ids = sorted(lm.word_id(w) for w in lm.words)
     assert ids == list(range(len(lm.words)))
+
+
+def test_array_trie_roundtrip_and_scores(tmp_path):
+    """ARRAY_TRIE (Bhiksha pointer compression): many bigrams over few
+    trigrams forces a deep chop; scores still equal the ARPA scorer."""
+    from tone_tpu.decoding.kenlm_trie import MODEL_ARRAY_TRIE, _BhikshaPlan
+
+    ngrams = _synthetic_ngrams(9, n_words=30, n_sents=400)
+    path = tmp_path / "array.bin"
+    write_kenlm_trie(ngrams, path, bhiksha_bits=22)
+    parsed = read_kenlm_trie(path)
+    assert parsed.model_type == MODEL_ARRAY_TRIE
+    assert parsed.counts == [len(t) for t in ngrams]
+    # the bigram level's pointers actually got chopped
+    plan = _BhikshaPlan.plan(parsed.counts[1] + 1, parsed.counts[2], 22)
+    assert parsed.middles[0].bhiksha is not None
+    assert parsed.middles[0].next_bits == plan.inline_bits
+
+    arpa = ArpaLM(ngrams)
+    trie = KenLMTrie(path)
+    allw = [w for (w,) in ngrams[0]]
+    rng = random.Random(9)
+    for _ in range(1500):
+        ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 4)))
+        w = rng.choice(allw + ["oov"])
+        assert trie.score(ctx, w) == pytest.approx(arpa.score(ctx, w),
+                                                   abs=1e-4), (ctx, w)
+
+
+def test_quant_array_trie(tmp_path):
+    """QUANT_ARRAY_TRIE: quantization and pointer compression compose."""
+    from tone_tpu.decoding.kenlm_trie import MODEL_QUANT_ARRAY_TRIE
+
+    ngrams = _synthetic_ngrams(10, n_sents=100)
+    path = tmp_path / "qa.bin"
+    write_kenlm_trie(ngrams, path, quant_bits=(13, 13), bhiksha_bits=8)
+    parsed = read_kenlm_trie(path)
+    assert parsed.model_type == MODEL_QUANT_ARRAY_TRIE
+    assert kenlm_model_type(path) == MODEL_QUANT_ARRAY_TRIE
+
+    arpa = ArpaLM(ngrams)
+    trie = KenLMTrie(path)
+    allw = [w for (w,) in ngrams[0]]
+    rng = random.Random(10)
+    for _ in range(1200):
+        ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 4)))
+        w = rng.choice(allw)
+        assert trie.score(ctx, w) == pytest.approx(arpa.score(ctx, w),
+                                                   abs=2e-4), (ctx, w)
+
+
+def test_array_trie_smaller_when_chop_pays(tmp_path):
+    """With many pointers over a small next level, the array form is
+    smaller than the plain trie (the point of Bhiksha compression)."""
+    ngrams = _synthetic_ngrams(11, n_words=40, n_sents=600)
+    plain, arr = tmp_path / "plain.bin", tmp_path / "arr.bin"
+    write_kenlm_trie(ngrams, plain)
+    write_kenlm_trie(ngrams, arr, bhiksha_bits=22)
+    t_plain, t_arr = KenLMTrie(plain), KenLMTrie(arr)
+    allw = [w for (w,) in ngrams[0]]
+    rng = random.Random(11)
+    for _ in range(800):
+        ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 3)))
+        w = rng.choice(allw)
+        assert t_plain.score(ctx, w) == pytest.approx(t_arr.score(ctx, w),
+                                                      abs=1e-6)
+    # enumeration agrees too (exercises bhiksha next_value on every entry)
+    assert trie_to_ngrams(t_plain) == trie_to_ngrams(t_arr)
+
+
+def test_array_trie_native_conversion(tmp_path):
+    """The native scorer accepts ARRAY_TRIE artifacts via the probing
+    conversion path used by BeamSearchCTCDecoder.from_local."""
+    from tone_tpu.decoder import _native_lm_path
+    from tone_tpu.decoding.native.beamsearch import NativeLM, native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    ngrams = _synthetic_ngrams(12)
+    path = tmp_path / "arr.bin"
+    write_kenlm_trie(ngrams, path, bhiksha_bits=22)
+    converted = _native_lm_path(path)
+    assert converted != path
+    cc = NativeLM(converted)
+    py = KenLMTrie(path)
+    allw = [w for (w,) in ngrams[0]]
+    rng = random.Random(12)
+    for _ in range(600):
+        ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 4)))
+        w = rng.choice(allw)
+        assert cc.score(ctx, w) == pytest.approx(py.score(ctx, w), abs=1e-5)

@@ -8,10 +8,17 @@ produced by ``build_binary trie`` —
 
 * ``TRIE`` (model type 2) — bit-packed reverse trie, full-precision floats;
 * ``QUANT_TRIE`` (type 3) — same with probabilities/backoffs quantized to
-  per-order bin tables (``build_binary -q bits -b bits trie``).
-
-The array-compressed pointer variants (``ARRAY_TRIE`` 4 / ``QUANT_ARRAY_TRIE``
-5, ``build_binary -a``) are detected and rejected with guidance.
+  per-order bin tables (``build_binary -q bits -b bits trie``);
+* ``ARRAY_TRIE`` (4) / ``QUANT_ARRAY_TRIE`` (5) — same with
+  Bhiksha-compressed next pointers (``build_binary -a bits``): each middle
+  level stores only the low ``inline_bits`` of every next pointer in the
+  entry, plus a sorted u64 array A where ``A[h]`` is the first entry index
+  whose pointer's high part is at least ``h`` (the high parts are
+  non-decreasing, so the entry's high part is recovered with one binary
+  search).  The chop width per level minimizes
+  ``array_cost(64 bits x (max_next >> (required-chop))) - savings
+  (n_pointers x chop)``, capped by the configured ``-a`` bits (KenLM's
+  lm/bhiksha.cc ChopBits).
 
 Like the probing module, the format is validated by round-trip against a
 first-party writer plus score-equality fuzzing against :class:`ArpaLM`
@@ -35,7 +42,11 @@ search_trie,quantize} structures:
   [middle]  per order n = 2..order-1, a bit-packed array of counts[n-1]+1
             entries (last = sentinel holding only the final next pointer):
             word (RequiredBits(counts[0]) bits) | weights | next
-            (RequiredBits(counts[n]) bits).  Weights are
+            (RequiredBits(counts[n]) bits; in the ARRAY variants the level
+            is prefixed by a Bhiksha block — u8 version(0), u8 a_bits, the
+            offsets array at align8(level_base+2), total prefix size
+            8*(1+array_count)+7 — and the inline field shrinks to
+            required-chop bits).  Weights are
             prob (non-positive float, 31 bits: f32 with the sign bit
             dropped) then backoff (full f32, 32 bits) for TRIE; for
             QUANT_TRIE, backoff bin index (backoff_bits) then prob bin
@@ -77,13 +88,19 @@ from tone_tpu.decoding.lm import LanguageModel
 
 __all__ = [
     "KenLMTrie", "read_kenlm_trie", "write_kenlm_trie", "trie_to_ngrams",
-    "MODEL_TRIE", "MODEL_QUANT_TRIE",
+    "MODEL_TRIE", "MODEL_QUANT_TRIE", "MODEL_ARRAY_TRIE",
+    "MODEL_QUANT_ARRAY_TRIE",
 ]
 
 MODEL_TRIE = 2
 MODEL_QUANT_TRIE = 3
-_ARRAY_TYPES = {4: "ARRAY_TRIE", 5: "QUANT_ARRAY_TRIE"}
-_TRIE_SEARCH_VERSION = 1  # lm/search_trie.hh TrieSearch::kVersion
+MODEL_ARRAY_TRIE = 4
+MODEL_QUANT_ARRAY_TRIE = 5
+_QUANT_TYPES = (MODEL_QUANT_TRIE, MODEL_QUANT_ARRAY_TRIE)
+_ARRAY_TYPES = (MODEL_ARRAY_TRIE, MODEL_QUANT_ARRAY_TRIE)
+_TRIE_SEARCH_VERSION = 1   # lm/search_trie.hh TrieSearch::kVersion
+_BHIKSHA_VERSION = 0       # lm/bhiksha.cc kArrayBhikshaVersion
+DEFAULT_BHIKSHA_BITS = 22  # lm/config.cc pointer_bhiksha_bits default
 
 _UNK_HASHES = (murmur64a(b"<unk>"), murmur64a(b"<UNK>"))
 _NO_EXTENSION_BACKOFF = np.float32(-0.0)  # lm/blank.hh kNoExtensionBackoff
@@ -126,6 +143,29 @@ def _encode_nonpositive31(value: float) -> int:
 
 
 @dataclass
+class _BhikshaPlan:
+    """Per-level Bhiksha pointer compression (lm/bhiksha.cc semantics)."""
+
+    chop: int         # high bits moved to the offsets array
+    inline_bits: int  # low bits kept in each entry (= required - chop)
+    array_count: int  # (max_next >> inline_bits) + 1
+    size: int         # section prefix bytes: 8 * (1 + array_count) + 7
+
+    @classmethod
+    def plan(cls, n_pointers: int, max_next: int, a_bits: int) -> "_BhikshaPlan":
+        """ChopBits: argmin over chop of array cost minus inline savings."""
+        required = _required_bits(max_next)
+        best_chop, lowest = 0, None
+        for chop in range(min(required, a_bits) + 1):
+            change = (max_next >> (required - chop)) * 64 - n_pointers * chop
+            if lowest is None or change < lowest:
+                lowest, best_chop = change, chop
+        inline = required - best_chop
+        count = (max_next >> inline) + 1
+        return cls(best_chop, inline, count, 8 * (1 + count) + 7)
+
+
+@dataclass
 class _BitSection:
     """One bit-packed trie level (middle or longest)."""
 
@@ -133,15 +173,22 @@ class _BitSection:
     entries: int
     word_bits: int
     quant_bits: int      # weight-field width (prob/backoff or bin indices)
-    next_bits: int       # 0 for the longest level
+    next_bits: int       # inline pointer bits; 0 for the longest level
     total_bits: int
+    # ARRAY variants: sorted high-part offsets (A[h] = first entry index
+    # whose pointer high part >= h); None for plain inline pointers.
+    bhiksha: np.ndarray | None = None
 
     def word(self, i: int) -> int:
         return _read_bits(self.buf, i * self.total_bits, self.word_bits)
 
     def next_value(self, i: int) -> int:
         off = i * self.total_bits + self.word_bits + self.quant_bits
-        return _read_bits(self.buf, off, self.next_bits)
+        low = _read_bits(self.buf, off, self.next_bits)
+        if self.bhiksha is None:
+            return low
+        high = int(np.searchsorted(self.bhiksha, i, side="right")) - 1
+        return (high << self.next_bits) | low
 
     def find(self, word: int, lo: int, hi: int) -> int:
         """Binary search for ``word`` in sorted entries [lo, hi); -1 if absent."""
@@ -184,7 +231,7 @@ class _ParsedTrie:
         """(prob, backoff) of entry ``i`` at order ``n`` (2 <= n < order)."""
         sec = self.middles[n - 2]
         off = i * sec.total_bits + sec.word_bits
-        if self.model_type == MODEL_QUANT_TRIE:
+        if self.model_type in _QUANT_TYPES:
             b_idx = _read_bits(sec.buf, off, self.backoff_bits)
             p_idx = _read_bits(sec.buf, off + self.backoff_bits, self.prob_bits)
             probs, backoffs = self.quant_mid[n - 2]
@@ -196,7 +243,7 @@ class _ParsedTrie:
     def longest_prob(self, i: int) -> float:
         sec = self.longest
         off = i * sec.total_bits + sec.word_bits
-        if self.model_type == MODEL_QUANT_TRIE:
+        if self.model_type in _QUANT_TYPES:
             return float(self.quant_long[_read_bits(sec.buf, off, self.prob_bits)])
         return _decode_nonpositive31(_read_bits(sec.buf, off, 31))
 
@@ -208,12 +255,8 @@ def read_kenlm_trie(path: str | Path) -> _ParsedTrie:
     order, = struct.unpack_from("<B", data, _SANITY_SIZE)
     _, model_type, has_vocab, search_version = struct.unpack_from(
         "<fIB3xI", data, _SANITY_SIZE + 4)
-    if model_type in _ARRAY_TYPES:
-        raise ValueError(
-            f"{path}: KenLM {_ARRAY_TYPES[model_type]} binaries are not "
-            "supported; rebuild without array pointer compression "
-            "(`build_binary trie in.arpa out.bin`, no -a) or use ARPA text")
-    if model_type not in (MODEL_TRIE, MODEL_QUANT_TRIE):
+    if model_type not in (MODEL_TRIE, MODEL_QUANT_TRIE,
+                          MODEL_ARRAY_TRIE, MODEL_QUANT_ARRAY_TRIE):
         raise ValueError(
             f"{path}: not a KenLM trie binary (model type {model_type}); "
             "use tone_tpu.decoding.kenlm_binary for the probing formats")
@@ -236,7 +279,7 @@ def read_kenlm_trie(path: str | Path) -> _ParsedTrie:
     prob_bits = backoff_bits = 0
     quant_mid: list[tuple[np.ndarray, np.ndarray]] = []
     quant_long = None
-    if model_type == MODEL_QUANT_TRIE:
+    if model_type in _QUANT_TYPES:
         prob_bits, backoff_bits = data[off], data[off + 1]
         if not (0 < prob_bits <= 25 and 0 < backoff_bits <= 25):
             raise ValueError(
@@ -264,18 +307,34 @@ def read_kenlm_trie(path: str | Path) -> _ParsedTrie:
 
     # --- bit-packed middle and longest levels --------------------------------
     word_bits = _required_bits(counts[0])
-    mid_quant_bits = (prob_bits + backoff_bits if model_type == MODEL_QUANT_TRIE
-                      else 63)
-    long_quant_bits = prob_bits if model_type == MODEL_QUANT_TRIE else 31
+    quantized = model_type in _QUANT_TYPES
+    bhiksha = model_type in _ARRAY_TYPES
+    mid_quant_bits = prob_bits + backoff_bits if quantized else 63
+    long_quant_bits = prob_bits if quantized else 31
     view = memoryview(data)
     middles = []
     for n in range(2, order):
         entries = counts[n - 1]
-        next_bits = _required_bits(counts[n])
+        offsets = None
+        if bhiksha:
+            version, a_bits = data[off], data[off + 1]
+            if version != _BHIKSHA_VERSION:
+                raise ValueError(
+                    f"{path}: array-trie pointer compression version "
+                    f"{version} unsupported (expected {_BHIKSHA_VERSION})")
+            plan = _BhikshaPlan.plan(entries + 1, counts[n], a_bits)
+            arr_off = _align8(off + 2)
+            offsets = np.frombuffer(data, "<u8", count=plan.array_count,
+                                    offset=arr_off)
+            off += plan.size
+            next_bits = plan.inline_bits
+        else:
+            next_bits = _required_bits(counts[n])
         total = word_bits + mid_quant_bits + next_bits
         size = ((entries + 1) * total + 7) // 8 + 8
         middles.append(_BitSection(view[off:off + size], entries, word_bits,
-                                   mid_quant_bits, next_bits, total))
+                                   mid_quant_bits, next_bits, total,
+                                   bhiksha=offsets))
         off += size
     entries = counts[-1]
     total = word_bits + long_quant_bits
@@ -468,16 +527,19 @@ def write_kenlm_trie(
     path: str | Path,
     *,
     quant_bits: tuple[int, int] | None = None,
+    bhiksha_bits: int | None = None,
     include_vocab: bool = True,
     unknown_missing_logprob: float = -100.0,
 ) -> None:
     """Serialize ARPA-style tables into a KenLM trie binary.
 
-    ``quant_bits=(prob_bits, backoff_bits)`` emits QUANT_TRIE (lossy — the
-    per-order bin tables are trained with KenLM's equal-count binning);
-    ``None`` emits full-precision TRIE.  Missing path prefixes of pruned
-    models are materialized as blanks carrying their backed-off probability
-    (see module docstring).
+    ``quant_bits=(prob_bits, backoff_bits)`` emits the QUANT variants (lossy
+    — the per-order bin tables are trained with KenLM's equal-count
+    binning); ``None`` emits full-precision probabilities.  ``bhiksha_bits``
+    (``build_binary -a``) emits the ARRAY variants: next pointers compressed
+    per level by the lowest-cost chop up to that many bits.  Missing path
+    prefixes of pruned models are materialized as blanks carrying their
+    backed-off probability (see module docstring).
     """
     order = len(ngrams)
     if order < 2:
@@ -589,7 +651,10 @@ def write_kenlm_trie(
         mid_quant_bits, long_quant_bits = 63, 31
 
     # --- assemble ---------------------------------------------------------------
-    model_type = MODEL_QUANT_TRIE if quantized else MODEL_TRIE
+    if bhiksha_bits is not None and not (0 < bhiksha_bits <= 57):
+        raise ValueError(f"bhiksha_bits out of range: {bhiksha_bits}")
+    model_type = (MODEL_QUANT_TRIE if quantized else MODEL_TRIE) + \
+        (2 if bhiksha_bits is not None else 0)
     out = bytearray()
     out += MAGIC.ljust(_MAGIC_PAD, b"\x00")
     out += struct.pack("<fff", 0.0, 1.0, -0.5)
@@ -625,7 +690,23 @@ def write_kenlm_trie(
     for n in range(2, order):
         level = sorted_levels[n - 2]
         starts = mid_starts[n - 2]
-        next_bits = _required_bits(counts[n])
+        if bhiksha_bits is not None:
+            plan = _BhikshaPlan.plan(len(level) + 1, counts[n], bhiksha_bits)
+            next_bits = plan.inline_bits
+            prefix = bytearray(plan.size)
+            prefix[0] = _BHIKSHA_VERSION
+            prefix[1] = bhiksha_bits
+            base = len(out)
+            arr_pos = _align8(base + 2) - base
+            encodes = (np.asarray(starts, np.uint64)
+                       >> np.uint64(plan.inline_bits))
+            arr = np.searchsorted(
+                encodes, np.arange(plan.array_count, dtype=np.uint64),
+                side="left").astype("<u8")
+            prefix[arr_pos:arr_pos + 8 * plan.array_count] = arr.tobytes()
+            out += bytes(prefix)
+        else:
+            next_bits = _required_bits(counts[n])
         total = word_bits + mid_quant_bits + next_bits
         buf = bytearray(((len(level) + 1) * total + 7) // 8 + 8)
         for i, (p, (prob, backoff)) in enumerate(level):
