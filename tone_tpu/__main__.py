@@ -13,13 +13,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
 
 
 def _add_model_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--checkpoint", type=Path, default=None,
+    # TONE_TPU_MODEL_DIR mirrors the reference demo's LOAD_FROM_FOLDER env
+    # var (reference tone/demo/website.py:25-33) for container deployments.
+    env_dir = os.environ.get("TONE_TPU_MODEL_DIR")
+    p.add_argument("--checkpoint", type=Path,
+                   default=Path(env_dir) if env_dir else None,
                    help="tone_tpu checkpoint dir or torch checkpoint file "
-                        "(default: random weights, for smoke testing)")
+                        "(default: $TONE_TPU_MODEL_DIR, else random weights "
+                        "for smoke testing)")
     p.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
     p.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
     p.add_argument("--chunk-ms", type=int, default=300)
