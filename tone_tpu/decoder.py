@@ -25,7 +25,8 @@ if TYPE_CHECKING:
 
     from tone_tpu.decoding.lm import LanguageModel
 
-__all__ = ["LABELS", "DecoderType", "GreedyCTCDecoder", "BeamSearchCTCDecoder"]
+__all__ = ["LABELS", "DecoderType", "GreedyCTCDecoder", "BeamSearchCTCDecoder",
+           "DeviceBeamSearchCTCDecoder"]
 
 
 class DecoderType(Enum):
@@ -181,3 +182,64 @@ class BeamSearchCTCDecoder:
         return StreamingBeamSearch(
             LABELS, self._lm, alpha=self.alpha, beta=self.beta,
             beam_width=self.beam_width)
+
+
+class DeviceBeamSearchCTCDecoder:
+    """Beam-search decoding with the search on the TPU and the LM applied
+    as an n-best rescoring pass on the host.
+
+    The host decoders above run shallow fusion sequentially per phrase; at
+    full chip utilization (~18k concurrent streams, docs/performance.md)
+    that makes the host CPU the decode bottleneck.  This decoder batches
+    the search itself on device (tone_tpu/ops/beam_decode.py) and reduces
+    host LM work to a handful of lookups per *hypothesis* instead of per
+    frame — see tone_tpu/decoding/rescore.py for the cost argument.
+
+    The interface matches the other decoders (``forward`` on one phrase);
+    ``forward_batch`` is the intended high-throughput path.
+    """
+
+    def __init__(self, lm: "LanguageModel | None" = None, *,
+                 alpha: float = BeamSearchCTCDecoder.ALPHA,
+                 beta: float = BeamSearchCTCDecoder.BETA,
+                 beam_width: int = 32, nbest: int = 8,
+                 max_len: int = 640) -> None:
+        self._lm = lm
+        self.alpha = alpha
+        self.beta = beta
+        self.beam_width = beam_width
+        self.nbest = nbest
+        self.max_len = max_len
+
+    @classmethod
+    def from_local(cls, model_path: str | Path, **kwargs) -> "DeviceBeamSearchCTCDecoder":
+        from tone_tpu.decoding.lm import load_lm
+
+        return cls(load_lm(Path(model_path)), **kwargs)
+
+    def forward(self, logprobs: "npt.NDArray[np.float32]") -> str:
+        _validate_logprobs(logprobs)
+        return self.forward_batch([logprobs])[0]
+
+    def forward_batch(self, logprobs_list) -> list[str]:
+        """Decode a list of (L_i, vocab+1) phrases in one device call."""
+        from tone_tpu.decoding.rescore import rescore_nbest
+        from tone_tpu.ops.beam_decode import (
+            beam_advance, beam_nbest, init_beam_state)
+
+        if not logprobs_list:
+            return []
+        lengths = np.array([lp.shape[0] for lp in logprobs_list])
+        t_max = int(lengths.max())
+        padded = np.stack([
+            np.pad(lp, ((0, t_max - lp.shape[0]), (0, 0)))
+            for lp in logprobs_list]).astype(np.float32)
+        state = init_beam_state(len(logprobs_list), self.beam_width,
+                                self.max_len)
+        state = beam_advance(state, padded, lengths)
+        out = []
+        for hyps in beam_nbest(state, self.nbest):
+            ranked = rescore_nbest(hyps, self._lm,
+                                   alpha=self.alpha, beta=self.beta)
+            out.append(ranked[0][0] if ranked else "")
+        return out

@@ -1,0 +1,302 @@
+"""Batched CTC prefix beam search on the TPU.
+
+The reference decodes with host-side C++ (pyctcdecode + KenLM,
+tone/decoder.py:108-133) — one phrase at a time, sequential in frames and
+beams.  That architecture caps a serving host at a few thousand streams of
+decode behind a chip that sustains ~18k streams (docs/performance.md).  This
+op restructures the search TPU-first:
+
+* all streams and all beams advance together — one jitted step per frame
+  batch, vectorized over (B, W, V);
+* prefix merging (the "prefix" in prefix beam search) is done by 64-bit
+  rolling hashes of the collapsed text: candidates are sorted by hash and
+  merged with a segmented log-sum-exp, all on device;
+* hypotheses are recovered from per-frame backpointers; the host only
+  assembles strings (and optionally rescores the n-best list with the word
+  n-gram LM — see tone_tpu.decoding.rescore — the shallow-fusion α/β
+  scoring applied per completed hypothesis instead of per frame).
+
+Semantics match the host implementations (tone_tpu/decoding/beam.py and the
+C++ decoder) run without an LM: the same expansion rules, the same
+(text, partial, last_char) merge identity, the same ``token_min_logp``
+pruning with the frame argmax always kept.  tests/test_beam_decode.py
+asserts decoded-text equality against the host search.
+
+The search state is an explicit pytree (like the model's streaming state),
+so it can be carried across chunk boundaries: ``beam_advance`` consumes any
+number of frames and is exactly chunk-split invariant.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tone_tpu.config import BLANK_ID, LABELS
+
+SPACE_ID = LABELS.index(" ")
+NEG_INF = float("-inf")
+
+
+class BeamState(NamedTuple):
+    """Carried search state for a batch of streams.
+
+    Shapes: (B, W) scalars per beam; ``tokens``/(B, W, L) holds the
+    collapsed token ids of each hypothesis so far (L caps the phrase
+    length; the splitter force-splits at 2000 frames so text can't grow
+    unboundedly).
+    """
+
+    p_b: jnp.ndarray    # log P(prefix, ends in blank)
+    p_nb: jnp.ndarray   # log P(prefix, ends in non-blank)
+    h1: jnp.ndarray     # rolling hash of the collapsed text (two u32 words)
+    h2: jnp.ndarray
+    lc: jnp.ndarray     # last emitted char id; -1 = none yet
+    tokens: jnp.ndarray
+    lens: jnp.ndarray
+
+    @property
+    def totals(self) -> jnp.ndarray:
+        return jnp.logaddexp(self.p_b, self.p_nb)
+
+
+def init_beam_state(batch: int, beam_width: int, max_len: int = 640) -> BeamState:
+    """Fresh state: beam 0 is the empty hypothesis, the rest are -inf
+    placeholders with distinct hashes (so they can never merge with a live
+    beam)."""
+    w = np.arange(beam_width, dtype=np.uint32)
+    h1 = np.where(w == 0, np.uint32(0x811C9DC5), w * np.uint32(0x9E3779B9) + 7)
+    h2 = np.where(w == 0, np.uint32(0x85EBCA6B), w * np.uint32(0xC2B2AE35) + 11)
+    zeros = jnp.zeros((batch, beam_width), jnp.float32)
+    first = (jnp.arange(beam_width) == 0)[None, :]
+    return BeamState(
+        p_b=jnp.where(first, 0.0, NEG_INF) + zeros,
+        p_nb=jnp.full((batch, beam_width), NEG_INF, jnp.float32),
+        h1=jnp.broadcast_to(jnp.asarray(h1), (batch, beam_width)),
+        h2=jnp.broadcast_to(jnp.asarray(h2), (batch, beam_width)),
+        lc=jnp.full((batch, beam_width), -1, jnp.int32),
+        tokens=jnp.zeros((batch, beam_width, max_len), jnp.int32),
+        lens=jnp.zeros((batch, beam_width), jnp.int32),
+    )
+
+
+def _mix(h1, h2, v):
+    """Extend the rolling hash with token id ``v`` (content-addressed: equal
+    collapsed texts always hash equal, independent of the search path)."""
+    u = (v + 1).astype(jnp.uint32)
+    return (h1 * jnp.uint32(1000003)) ^ u, (h2 * jnp.uint32(2654435761)) + u
+
+
+def _segmented_reverse_logaddexp(vals, heads):
+    """Per-segment log-sum-exp accumulated from each position to its segment
+    end; segments are contiguous runs, ``heads`` marks each run's LAST
+    element.  Returned value at a run's FIRST element is the full-segment
+    reduction."""
+    flip = lambda x: jnp.flip(x, axis=1)
+    v, f = flip(vals), flip(heads)
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[..., None], vb, jnp.logaddexp(va, vb))
+
+    _, out = jax.lax.associative_scan(combine, (f, v), axis=1)
+    return flip(out)
+
+
+def _frame_step(carry, xs, *, token_min_logp):
+    """One frame of prefix beam search for the whole batch."""
+    p_b, p_nb, h1, h2, lc = carry
+    frame, active = xs                      # (B, V), (B,)
+    b_sz, w = p_b.shape
+    v_total = frame.shape[-1]
+    n_char = v_total - 1                    # non-blank tokens 0..V-2
+
+    ptot = jnp.logaddexp(p_b, p_nb)
+    amax = jnp.argmax(frame, axis=-1)
+    tokmask = (frame >= token_min_logp) | (
+        jnp.arange(v_total)[None, :] == amax[:, None])
+    p = jnp.where(tokmask, frame, NEG_INF)  # (B, V)
+
+    # --- self candidates: identity unchanged (blank / run-extension) -------
+    p_blank = p[:, BLANK_ID][:, None]
+    p_at_lc = jnp.take_along_axis(p, jnp.clip(lc, 0, v_total - 1), axis=1)
+    p_at_lc = jnp.where(lc >= 0, p_at_lc, NEG_INF)
+    self_pb = ptot + p_blank
+    # lc == space: the p_b-sourced re-space collapses into the same prefix
+    # (empty word), so the whole mass moves: p_total + p[space].
+    self_pnb = jnp.where(lc == SPACE_ID, ptot + p_at_lc, p_nb + p_at_lc)
+
+    # --- expansion candidates: (B, W, V-1) ---------------------------------
+    v_ids = jnp.arange(n_char, dtype=jnp.int32)
+    pv = p[:, :n_char][:, None, :]                       # (B, 1, V-1)
+    is_rep = v_ids[None, None, :] == lc[:, :, None]      # repeat char
+    src = jnp.where(is_rep, p_b[:, :, None], ptot[:, :, None])
+    exp_pnb = src + pv
+    is_space = (v_ids == SPACE_ID)[None, None, :]
+    lead_space = is_space & (lc == -1)[:, :, None]       # empty text + space
+    h1x, h2x = _mix(h1[:, :, None], h2[:, :, None], v_ids[None, None, :])
+    exp_h1 = jnp.where(lead_space, h1[:, :, None], h1x)
+    exp_h2 = jnp.where(lead_space, h2[:, :, None], h2x)
+    exp_lc = jnp.broadcast_to(v_ids[None, None, :], exp_pnb.shape)
+    exp_e = jnp.where(lead_space, -1, exp_lc)
+    # space-after-space already lives in the self candidate
+    exp_pnb = jnp.where(is_space & (lc == SPACE_ID)[:, :, None],
+                        NEG_INF, exp_pnb)
+
+    # --- flatten to C = W * V candidates -----------------------------------
+    def cat(self_x, exp_x):
+        return jnp.concatenate(
+            [self_x[:, :, None], exp_x], axis=2).reshape(b_sz, w * v_total)
+
+    parent = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.int32)[None, :, None], (b_sz, w, v_total - 1))
+    c_h1 = cat(h1, exp_h1)
+    c_h2 = cat(h2, exp_h2)
+    c_lc = cat(lc, exp_lc)
+    c_flag = (c_lc == SPACE_ID).astype(jnp.uint32)
+    c_pb = cat(self_pb, jnp.full_like(exp_pnb, NEG_INF))
+    c_pnb = cat(self_pnb, exp_pnb)
+    c_parent = cat(jnp.arange(w, dtype=jnp.int32)[None, :] +
+                   jnp.zeros((b_sz, w), jnp.int32), parent)
+    c_e = cat(jnp.full((b_sz, w), -1, jnp.int32), exp_e)
+
+    # --- sort by identity (h1, h2, flag) and merge -------------------------
+    c_h1, c_h2, c_flag, c_pb, c_pnb, c_lc, c_parent, c_e = jax.lax.sort(
+        (c_h1, c_h2, c_flag, c_pb, c_pnb, c_lc, c_parent, c_e),
+        dimension=1, num_keys=3)
+    same = (c_h1[:, 1:] == c_h1[:, :-1]) & (c_h2[:, 1:] == c_h2[:, :-1]) \
+        & (c_flag[:, 1:] == c_flag[:, :-1])
+    pad_t = jnp.ones((b_sz, 1), bool)
+    heads = jnp.concatenate([~same, pad_t], axis=1)       # last of segment
+    reps = jnp.concatenate([pad_t, ~same], axis=1)        # first of segment
+    merged = _segmented_reverse_logaddexp(
+        jnp.stack([c_pb, c_pnb], axis=-1), heads)
+    m_pb, m_pnb = merged[..., 0], merged[..., 1]
+    tot = jnp.where(reps, jnp.logaddexp(m_pb, m_pnb), NEG_INF)
+
+    # --- keep the best W ---------------------------------------------------
+    _, idx = jax.lax.top_k(tot, w)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    n_pb, n_pnb = take(m_pb), take(m_pnb)
+    n_h1, n_h2, n_lc = take(c_h1), take(c_h2), take(c_lc)
+    n_parent, n_e = take(c_parent), take(c_e)
+
+    # inactive streams: state unchanged, identity backpointers
+    keep = active[:, None]
+    iota_w = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                              (b_sz, w))
+    out_parent = jnp.where(keep, n_parent, iota_w)
+    out_e = jnp.where(keep, n_e, -1)
+    carry = (
+        jnp.where(keep, n_pb, p_b),
+        jnp.where(keep, n_pnb, p_nb),
+        jnp.where(keep, n_h1, h1),
+        jnp.where(keep, n_h2, h2),
+        jnp.where(keep, n_lc, lc),
+    )
+    return carry, (out_parent, out_e)
+
+
+def _advance(state: BeamState, logprobs, active, token_min_logp) -> BeamState:
+    b_sz, t_max, _ = logprobs.shape
+    w = state.p_b.shape[1]
+    l_max = state.tokens.shape[-1]
+
+    carry = (state.p_b, state.p_nb, state.h1, state.h2, state.lc)
+    step = lambda c, xs: _frame_step(c, xs, token_min_logp=token_min_logp)
+    carry, (parents, emits) = jax.lax.scan(
+        step, carry,
+        (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
+    p_b, p_nb, h1, h2, lc = carry
+
+    # --- backtrack: emitted token per frame along each beam's ancestry -----
+    def back(w_cur, pe):
+        parent_t, emit_t = pe
+        e = jnp.take_along_axis(emit_t, w_cur, axis=1)
+        return jnp.take_along_axis(parent_t, w_cur, axis=1), e
+
+    iota_w = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                              (b_sz, w))
+    w0, es = jax.lax.scan(back, iota_w, (parents, emits), reverse=True)
+
+    # --- splice the new tokens onto the origin beams' buffers --------------
+    base = jnp.take_along_axis(state.lens, w0, axis=1)            # (B, W)
+    old = jnp.take_along_axis(state.tokens, w0[:, :, None], axis=1)
+    es = jnp.moveaxis(es, 0, 2)                                   # (B, W, T)
+    emask = es >= 0
+    offs = jnp.cumsum(emask, axis=2) - emask
+    pos = base[:, :, None] + offs
+    pos = jnp.where(emask & (pos < l_max), pos, l_max)            # drop OOB
+    b_idx = jnp.arange(b_sz)[:, None, None]
+    w_idx = jnp.arange(w)[None, :, None]
+    tokens = old.at[b_idx, w_idx, pos].set(es, mode="drop")
+    lens = jnp.minimum(base + emask.sum(axis=2), l_max)
+
+    return BeamState(p_b, p_nb, h1, h2, lc, tokens, lens.astype(jnp.int32))
+
+
+_advance_jit = jax.jit(_advance)
+
+
+def beam_advance(
+    state: BeamState,
+    logprobs,
+    lengths=None,
+    *,
+    token_min_logp: float = -5.0,
+) -> BeamState:
+    """Consume (B, T, V) log-probability frames (natural log).
+
+    ``lengths`` (B,) masks per-stream padding frames: frames at ``t >=
+    lengths[b]`` leave that stream's state exactly unchanged, so a padded
+    batch decodes identically to per-stream calls.
+    """
+    logprobs = jnp.asarray(logprobs, jnp.float32)
+    b_sz, t_max, _ = logprobs.shape
+    if lengths is None:
+        active = jnp.ones((b_sz, t_max), bool)
+    else:
+        active = jnp.arange(t_max)[None, :] < jnp.asarray(lengths)[:, None]
+    return _advance_jit(state, logprobs, active,
+                        jnp.float32(token_min_logp))
+
+
+def beam_nbest(state: BeamState, n: int = 1) -> list[list[tuple[str, float]]]:
+    """Host-side readout: per stream, up to ``n`` (text, acoustic_logp)
+    pairs, best first.  -inf placeholder beams are dropped."""
+    totals = np.asarray(state.totals)
+    tokens = np.asarray(state.tokens)
+    lens = np.asarray(state.lens)
+    out = []
+    for b in range(totals.shape[0]):
+        order = np.argsort(-totals[b], kind="stable")[:n]
+        hyps = []
+        for wi in order:
+            if not np.isfinite(totals[b, wi]):
+                continue
+            ids = tokens[b, wi, :lens[b, wi]]
+            hyps.append(("".join(LABELS[i] for i in ids).strip(),
+                         float(totals[b, wi])))
+        out.append(hyps)
+    return out
+
+
+def beam_search_decode(
+    logprobs,
+    lengths=None,
+    *,
+    beam_width: int = 16,
+    token_min_logp: float = -5.0,
+    max_len: int = 640,
+) -> list[str]:
+    """Decode a batch of (B, T, V) logprobs to texts on device (the
+    beam-search counterpart of :func:`batched_greedy_decode`)."""
+    logprobs = jnp.asarray(logprobs, jnp.float32)
+    state = init_beam_state(logprobs.shape[0], beam_width, max_len)
+    state = beam_advance(state, logprobs, lengths,
+                         token_min_logp=token_min_logp)
+    return [hyps[0][0] if hyps else "" for hyps in beam_nbest(state, 1)]
