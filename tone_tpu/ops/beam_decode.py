@@ -90,23 +90,6 @@ def _mix(h1, h2, v):
     return (h1 * jnp.uint32(1000003)) ^ u, (h2 * jnp.uint32(2654435761)) + u
 
 
-def _segmented_reverse_logaddexp(vals, heads):
-    """Per-segment log-sum-exp accumulated from each position to its segment
-    end; segments are contiguous runs, ``heads`` marks each run's LAST
-    element.  Returned value at a run's FIRST element is the full-segment
-    reduction."""
-    flip = lambda x: jnp.flip(x, axis=1)
-    v, f = flip(vals), flip(heads)
-
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb[..., None], vb, jnp.logaddexp(va, vb))
-
-    _, out = jax.lax.associative_scan(combine, (f, v), axis=1)
-    return flip(out)
-
-
 def _frame_step(carry, xs, *, token_min_logp):
     """One frame of prefix beam search for the whole batch."""
     p_b, p_nb, h1, h2, lc = carry
@@ -147,36 +130,41 @@ def _frame_step(carry, xs, *, token_min_logp):
     exp_pnb = jnp.where(is_space & (lc == SPACE_ID)[:, :, None],
                         NEG_INF, exp_pnb)
 
-    # --- flatten to C = W * V candidates -----------------------------------
-    def cat(self_x, exp_x):
-        return jnp.concatenate(
-            [self_x[:, :, None], exp_x], axis=2).reshape(b_sz, w * v_total)
+    # --- merge extensions into selves --------------------------------------
+    # Live beams always carry *distinct* collapsed texts (they are the
+    # representatives of the previous frame's merge), so two extension
+    # candidates can never produce the same text, and an extension can
+    # coincide with at most one *self* candidate (the beam whose text
+    # already equals parent-text + char).  Merging therefore reduces to a
+    # (W·(V-1)) × W identity match — no sort needed.
+    n_ext = w * n_char
+    flat = lambda a: a.reshape(b_sz, n_ext)
+    e_h1, e_h2 = flat(exp_h1), flat(exp_h2)
+    e_lc, e_e = flat(exp_lc), flat(exp_e)
+    e_pnb = flat(exp_pnb)
+    e_flag = e_lc == SPACE_ID
+    s_flag = lc == SPACE_ID
+    match = ((e_h1[:, None, :] == h1[:, :, None])
+             & (e_h2[:, None, :] == h2[:, :, None])
+             & (e_flag[:, None, :] == s_flag[:, :, None]))    # (B, W, E)
+    contrib = jnp.where(match, e_pnb[:, None, :], NEG_INF)
+    m_self_pnb = jnp.logaddexp(self_pnb, jax.nn.logsumexp(contrib, axis=-1))
+    e_pnb = jnp.where(match.any(axis=1), NEG_INF, e_pnb)
 
-    parent = jnp.broadcast_to(
-        jnp.arange(w, dtype=jnp.int32)[None, :, None], (b_sz, w, v_total - 1))
-    c_h1 = cat(h1, exp_h1)
-    c_h2 = cat(h2, exp_h2)
-    c_lc = cat(lc, exp_lc)
-    c_flag = (c_lc == SPACE_ID).astype(jnp.uint32)
-    c_pb = cat(self_pb, jnp.full_like(exp_pnb, NEG_INF))
-    c_pnb = cat(self_pnb, exp_pnb)
-    c_parent = cat(jnp.arange(w, dtype=jnp.int32)[None, :] +
-                   jnp.zeros((b_sz, w), jnp.int32), parent)
-    c_e = cat(jnp.full((b_sz, w), -1, jnp.int32), exp_e)
-
-    # --- sort by identity (h1, h2, flag) and merge -------------------------
-    c_h1, c_h2, c_flag, c_pb, c_pnb, c_lc, c_parent, c_e = jax.lax.sort(
-        (c_h1, c_h2, c_flag, c_pb, c_pnb, c_lc, c_parent, c_e),
-        dimension=1, num_keys=3)
-    same = (c_h1[:, 1:] == c_h1[:, :-1]) & (c_h2[:, 1:] == c_h2[:, :-1]) \
-        & (c_flag[:, 1:] == c_flag[:, :-1])
-    pad_t = jnp.ones((b_sz, 1), bool)
-    heads = jnp.concatenate([~same, pad_t], axis=1)       # last of segment
-    reps = jnp.concatenate([pad_t, ~same], axis=1)        # first of segment
-    merged = _segmented_reverse_logaddexp(
-        jnp.stack([c_pb, c_pnb], axis=-1), heads)
-    m_pb, m_pnb = merged[..., 0], merged[..., 1]
-    tot = jnp.where(reps, jnp.logaddexp(m_pb, m_pnb), NEG_INF)
+    # --- flatten to C = W + W*(V-1) candidates (selves first) --------------
+    iota_w32 = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                                (b_sz, w))
+    e_parent = flat(jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.int32)[None, :, None], exp_pnb.shape))
+    ccat = lambda s, e: jnp.concatenate([s, e], axis=1)
+    c_h1, c_h2 = ccat(h1, e_h1), ccat(h2, e_h2)
+    c_lc = ccat(lc, e_lc)
+    c_pb = ccat(self_pb, jnp.full_like(e_pnb, NEG_INF))
+    c_pnb = ccat(m_self_pnb, e_pnb)
+    c_parent = ccat(iota_w32, e_parent)
+    c_e = ccat(jnp.full((b_sz, w), -1, jnp.int32), e_e)
+    tot = jnp.logaddexp(c_pb, c_pnb)
+    m_pb, m_pnb = c_pb, c_pnb
 
     # --- keep the best W ---------------------------------------------------
     _, idx = jax.lax.top_k(tot, w)
