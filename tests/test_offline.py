@@ -48,3 +48,26 @@ def test_batched_offline_matches_pipeline(cfg, variables):
         for pe, pg in zip(exp, g):
             assert abs(pe.start_time - pg.start_time) < 0.05
             assert abs(pe.end_time - pg.end_time) <= 0.31
+
+
+@pytest.mark.slow
+def test_batched_offline_with_device_beam_decoder(cfg, variables):
+    """forward_batch decoding (one device call for all phrases of a batch)
+    produces the same phrases as per-phrase forward of the same decoder."""
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+    rng = np.random.default_rng(1)
+    audios = [rng.integers(-20000, 20000, n).astype(np.int32)
+              for n in (5000, 2400 * 2, 1700)]
+
+    dec = DeviceBeamSearchCTCDecoder(None, beam_width=8, nbest=4)
+    got = OfflineTranscriber(variables, cfg, decoder=dec,
+                             batch_size=2).transcribe(audios)
+
+    class NoBatch:
+        forward = dec.forward
+
+    want = OfflineTranscriber(variables, cfg, decoder=NoBatch(),
+                              batch_size=2).transcribe(audios)
+    assert [[p.text for p in u] for u in got] == \
+        [[p.text for p in u] for u in want]

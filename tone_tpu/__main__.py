@@ -26,8 +26,12 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="tone_tpu checkpoint dir or torch checkpoint file "
                         "(default: $TONE_TPU_MODEL_DIR, else random weights "
                         "for smoke testing)")
-    p.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
-    p.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
+    p.add_argument("--decoder", choices=["greedy", "beam", "device-beam"],
+                   default="greedy",
+                   help="device-beam = beam search on the TPU with n-best "
+                        "LM rescoring on the host (high-throughput path)")
+    p.add_argument("--lm", type=Path, default=None,
+                   help="LM for beam search (ARPA text or KenLM binary)")
     p.add_argument("--chunk-ms", type=int, default=300)
 
 
@@ -55,6 +59,11 @@ def _build_pipeline(args):
     if args.decoder == "beam":
         decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
                    else BeamSearchCTCDecoder())
+    elif args.decoder == "device-beam":
+        from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+        decoder = (DeviceBeamSearchCTCDecoder.from_local(args.lm) if args.lm
+                   else DeviceBeamSearchCTCDecoder())
     else:
         decoder = GreedyCTCDecoder()
     return StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)

@@ -222,23 +222,31 @@ class DeviceBeamSearchCTCDecoder:
         return self.forward_batch([logprobs])[0]
 
     def forward_batch(self, logprobs_list) -> list[str]:
-        """Decode a list of (L_i, vocab+1) phrases in one device call."""
+        """Decode a list of (L_i, vocab+1) phrases in one device call.
+
+        Batch and frame counts are padded to buckets (powers of two / ×64)
+        so XLA compiles one program per bucket, not per shape — the same
+        policy as OfflineTranscriber's acoustic batching.
+        """
         from tone_tpu.decoding.rescore import rescore_nbest
         from tone_tpu.ops.beam_decode import (
             beam_advance, beam_nbest, init_beam_state)
 
         if not logprobs_list:
             return []
-        lengths = np.array([lp.shape[0] for lp in logprobs_list])
-        t_max = int(lengths.max())
-        padded = np.stack([
-            np.pad(lp, ((0, t_max - lp.shape[0]), (0, 0)))
-            for lp in logprobs_list]).astype(np.float32)
-        state = init_beam_state(len(logprobs_list), self.beam_width,
-                                self.max_len)
-        state = beam_advance(state, padded, lengths)
+        n = len(logprobs_list)
+        lengths = [lp.shape[0] for lp in logprobs_list]
+        t_pad = max(-(-max(lengths) // 64) * 64, 64)
+        b_pad = 1 << (n - 1).bit_length()
+        v = logprobs_list[0].shape[1]
+        padded = np.zeros((b_pad, t_pad, v), np.float32)
+        for row, lp in enumerate(logprobs_list):
+            padded[row, :lp.shape[0]] = lp
+        state = init_beam_state(b_pad, self.beam_width, self.max_len)
+        state = beam_advance(state, padded,
+                             np.array(lengths + [0] * (b_pad - n)))
         out = []
-        for hyps in beam_nbest(state, self.nbest):
+        for hyps in beam_nbest(state, self.nbest)[:n]:
             ranked = rescore_nbest(hyps, self._lm,
                                    alpha=self.alpha, beta=self.beta)
             out.append(ranked[0][0] if ranked else "")

@@ -97,10 +97,24 @@ class OfflineTranscriber:
                 jnp.asarray(audio_arr.reshape(len(idx), n_chunks, chunk))),
                 dtype=np.float32)
 
+            split = []
             for row, i in enumerate(idx):
                 row_lp = logprobs[row, :row_chunks[row] * frames]
                 phrases, _ = self._splitter.forward(row_lp, None, is_last=True)
-                results[i] = [self._to_text_phrase(p) for p in phrases]
+                split.append((i, phrases))
+
+            forward_batch = getattr(self.decoder, "forward_batch", None)
+            if forward_batch is not None:
+                # Device decoder: all phrases of the batch in one call.
+                flat = [np.ascontiguousarray(p.logprobs)
+                        for _, phrases in split for p in phrases]
+                texts = iter(forward_batch(flat))
+                for i, phrases in split:
+                    results[i] = [self._to_text_phrase(p, next(texts))
+                                  for p in phrases]
+            else:
+                for i, phrases in split:
+                    results[i] = [self._to_text_phrase(p) for p in phrases]
         return results  # type: ignore[return-value]
 
     def forward_offline(self, audio: np.ndarray) -> list[TextPhrase]:
@@ -108,9 +122,10 @@ class OfflineTranscriber:
         (so e.g. ``tone_tpu.eval.evaluate_pipeline`` accepts a transcriber)."""
         return self.transcribe([audio])[0]
 
-    def _to_text_phrase(self, logprob_phrase) -> TextPhrase:
+    def _to_text_phrase(self, logprob_phrase, text: str | None = None) -> TextPhrase:
         cfg = self.config
-        text = self.decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
+        if text is None:
+            text = self.decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
         bias = cfg.mean_time_bias + cfg.padding / cfg.frontend.sample_rate
         start = max(0.0, round(logprob_phrase.start_frame * cfg.frame_size - bias, 2))
         end = max(start, round(logprob_phrase.end_frame * cfg.frame_size - bias, 2))
