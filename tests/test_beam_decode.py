@@ -115,3 +115,33 @@ def test_token_buffer_overflow_truncates():
     assert len(hyps[0][0]) <= 5
     full = beam_search_decode(lp, beam_width=4)[0]
     assert hyps[0][0] == full[:5].strip()
+
+
+def test_carried_arena_matches_host_streaming_with_resets():
+    """Device beam state as a serving arena: per-tick advance with per-slot
+    activity masks and phrase-boundary resets must match one host
+    StreamingBeamSearch per slot fed the same frames/resets."""
+    from tone_tpu.ops.beam_decode import beam_reset, beam_top_tokens, top_texts
+
+    rng = np.random.default_rng(8)
+    slots, ticks, frames = 5, 12, 10
+    state = init_beam_state(slots, 8, max_len=256)
+    hosts = [StreamingBeamSearch(LABELS, None, beam_width=8)
+             for _ in range(slots)]
+
+    for _ in range(ticks):
+        chunk = np.stack([_peaked_logprobs(rng, frames) for _ in range(slots)])
+        resets = rng.random(slots) < 0.2
+        advance = rng.random(slots) < 0.8
+        state = beam_reset(state, resets)
+        state = beam_advance(state, chunk,
+                             np.where(advance, frames, 0))
+        for s in range(slots):
+            if resets[s]:
+                hosts[s].reset()
+            if advance[s]:
+                hosts[s].advance(chunk[s].astype(np.float64))
+
+        got = top_texts(*beam_top_tokens(state))
+        want = [h.result() for h in hosts]
+        assert got == want

@@ -295,3 +295,44 @@ def test_engine_interim_beam_one_inflight_and_queueing(variables, cfg):
         assert engine._interim_results.get(sid) == stream.beam.result()
     engine.close(sid)
     engine.shutdown()
+
+
+def test_engine_interim_device_beam(variables, cfg):
+    """interim_device_beam: partials come from the TPU-resident beam arena
+    (one batched advance per tick).  Deterministic, produced mid-phrase,
+    cleared with the stream; final phrases are unaffected."""
+    def run():
+        engine = MultiStreamEngine(variables, cfg, n_slots=2,
+                                   interim_device_beam=True)
+        assert engine.interim_transcripts and not engine.interim_beam
+        sid = engine.open_stream()
+        rng = np.random.default_rng(0)
+        interims, finals = [], []
+        for i in range(6):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            engine.feed(sid, chunk, is_last=(i == 5))
+            results = engine.tick()
+            interims.extend(engine.last_interims.values())
+            for futures in results.values():
+                finals.extend(f.result().text for f in futures)
+        assert sid not in engine._streams
+        return interims, finals
+
+    interims_a, finals_a = run()
+    interims_b, finals_b = run()
+    assert interims_a, "no device-beam interim text produced"
+    assert all(isinstance(t, str) and t for t in interims_a)
+    assert interims_a == interims_b and finals_a == finals_b
+
+    # final phrases identical to an engine without interims (the device
+    # beam arena must not perturb the acoustic/decode path)
+    engine = MultiStreamEngine(variables, cfg, n_slots=2)
+    sid = engine.open_stream()
+    rng = np.random.default_rng(0)
+    finals_plain = []
+    for i in range(6):
+        chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+        engine.feed(sid, chunk, is_last=(i == 5))
+        for futures in engine.tick().values():
+            finals_plain.extend(f.result().text for f in futures)
+    assert finals_a == finals_plain

@@ -288,3 +288,51 @@ def beam_search_decode(
     state = beam_advance(state, logprobs, lengths,
                          token_min_logp=token_min_logp)
     return [hyps[0][0] if hyps else "" for hyps in beam_nbest(state, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Carried-state serving primitives: per-slot reset + top-hypothesis readout.
+# Together with beam_advance these make the search a device-resident arena
+# alongside the acoustic state arena: the serving engine advances all slots'
+# beams once per tick and resets slots at phrase boundaries, the TPU-native
+# form of the per-stream host StreamingBeamSearch used for interim
+# transcripts (tone_tpu/runtime/engine.py).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def beam_reset(state: BeamState, mask) -> BeamState:
+    """Reset masked streams to the fresh empty-hypothesis state (the
+    device analog of ``StreamingBeamSearch.reset()``); others unchanged."""
+    batch, w = state.p_b.shape
+    fresh = init_beam_state(batch, w, state.tokens.shape[-1])
+    mask = jnp.asarray(mask)
+    m2 = mask[:, None]
+    return BeamState(
+        p_b=jnp.where(m2, fresh.p_b, state.p_b),
+        p_nb=jnp.where(m2, fresh.p_nb, state.p_nb),
+        h1=jnp.where(m2, fresh.h1, state.h1),
+        h2=jnp.where(m2, fresh.h2, state.h2),
+        lc=jnp.where(m2, fresh.lc, state.lc),
+        tokens=jnp.where(m2[:, :, None], fresh.tokens, state.tokens),
+        lens=jnp.where(m2, fresh.lens, state.lens),
+    )
+
+
+@jax.jit
+def beam_top_tokens(state: BeamState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best hypothesis per stream as (tokens (B, L) int32, lens (B,)) — a
+    device-side gather so only one hypothesis per stream crosses to the
+    host each tick."""
+    best = jnp.argmax(state.totals, axis=1)
+    tokens = jnp.take_along_axis(
+        state.tokens, best[:, None, None], axis=1)[:, 0]
+    lens = jnp.take_along_axis(state.lens, best[:, None], axis=1)[:, 0]
+    return tokens, lens
+
+
+def top_texts(tokens, lens) -> list[str]:
+    """Host-side string assembly for :func:`beam_top_tokens` output."""
+    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    return ["".join(LABELS[i] for i in row[:n]).strip()
+            for row, n in zip(tokens, lens)]

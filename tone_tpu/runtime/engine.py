@@ -82,7 +82,8 @@ class MultiStreamEngine:
     def __init__(self, variables, config: ToneConfig, n_slots: int = 256,
                  decoder=None, sharding=None, decode_workers: int = 8,
                  interim_transcripts: bool = False,
-                 interim_beam: bool = False) -> None:
+                 interim_beam: bool = False,
+                 interim_device_beam: bool = False) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -94,12 +95,25 @@ class MultiStreamEngine:
         LM-quality partials with the per-tick cost spread off the tick
         thread (at most one in-flight advance per stream; results surface
         on the following tick).  Default is the in-tick greedy collapse,
-        which is vectorized and effectively free."""
+        which is vectorized and effectively free.
+
+        ``interim_device_beam``: the carried beam search lives on the TPU
+        instead — a BeamState arena beside the acoustic arena, advanced
+        for every slot in one batched call per tick with phrase-boundary
+        resets (tone_tpu/ops/beam_decode.py).  Acoustic-best partials with
+        zero host decode cost; final phrases still use the configured
+        decoder (with its LM)."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
-        self.interim_transcripts = interim_transcripts or interim_beam
-        self.interim_beam = interim_beam and hasattr(decoder, "streaming")
+        self.interim_transcripts = (interim_transcripts or interim_beam
+                                    or interim_device_beam)
+        self.interim_device_beam = interim_device_beam
+        self.interim_beam = (interim_beam and not interim_device_beam
+                             and hasattr(decoder, "streaming"))
+        self._device_beams = None       # lazy ops.beam_decode.BeamState
+        self._device_beam_width = 8
+        self._device_beam_max_len = 256
         self._interim_results: dict[int, str] = {}
         self._labels = config.labels
         self._splitter = BatchLogprobSplitter(n_slots)
@@ -220,7 +234,13 @@ class MultiStreamEngine:
         by_slot = self._splitter.forward_batch(tick_logprobs, slot_ids, lasts)
         argmax = (tick_logprobs.argmax(axis=-1)
                   if self.interim_transcripts and not self.interim_beam
+                  and not self.interim_device_beam
                   else None)
+
+        device_texts = None
+        if self.interim_device_beam:
+            device_texts = self._tick_device_beams(
+                logprobs, ticking, by_slot, reset)
 
         results: dict[int, list[Future]] = {}
         interims: dict[int, str] = {}
@@ -232,7 +252,15 @@ class MultiStreamEngine:
                 if phrases:
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p) for p in phrases]
-                if self.interim_beam:
+                if device_texts is not None:
+                    if phrases or is_last:
+                        stream.interim_sent = ""
+                    else:
+                        text = device_texts[stream.slot]
+                        if text and text != stream.interim_sent:
+                            stream.interim_sent = text
+                            interims[sid] = text
+                elif self.interim_beam:
                     if phrases or is_last:
                         # Phrase boundary: the in-progress text was finalized
                         # by the real decoder; restart the carried search.
@@ -293,6 +321,37 @@ class MultiStreamEngine:
         self.stats.last_tick_seconds = elapsed
         self.stats.last_host_seconds = elapsed - t_device
         return results
+
+    def _tick_device_beams(self, logprobs, ticking, by_slot, reset):
+        """Advance the device-resident beam arena one tick and read back the
+        best hypothesis per slot.
+
+        Slots reset when the acoustic slot resets (new stream) or at a
+        phrase boundary (the finalized phrase goes through the real
+        decoder); other ticking slots advance over this tick's frames.
+        Mirrors the host carried-search lifecycle (the interim_beam branch
+        of tick) with one batched device call instead of per-stream tasks.
+        """
+        from tone_tpu.ops.beam_decode import (
+            beam_advance, beam_reset, beam_top_tokens, init_beam_state,
+            top_texts)
+
+        n = self.arena.n_slots
+        if self._device_beams is None:
+            self._device_beams = init_beam_state(
+                n, self._device_beam_width, self._device_beam_max_len)
+        reset_mask = np.asarray(reset, bool).copy()
+        frames = np.zeros(n, np.int32)
+        n_frames = logprobs.shape[1]
+        for _, stream, is_last in ticking:
+            if by_slot.get(stream.slot) or is_last:
+                reset_mask[stream.slot] = True
+            else:
+                frames[stream.slot] = n_frames
+        state = beam_reset(self._device_beams, reset_mask)
+        state = beam_advance(state, np.asarray(logprobs, np.float32), frames)
+        self._device_beams = state
+        return top_texts(*beam_top_tokens(state))
 
     def pop_finished(self) -> list[int]:
         """Stream ids whose final (is_last) chunk was processed since the

@@ -252,6 +252,10 @@ def main() -> None:
                         help="interim transcripts from a carried-state beam "
                              "search (LM-quality partials; implies --interim, "
                              "needs --decoder beam)")
+    parser.add_argument("--interim-device-beam", action="store_true",
+                        help="carried beam search for interim transcripts "
+                             "runs on the TPU (one batched call per tick, "
+                             "zero host decode cost; implies --interim)")
     parser.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
     args = parser.parse_args()
 
@@ -280,7 +284,8 @@ def main() -> None:
     engine = MultiStreamEngine(variables, config, n_slots=args.slots,
                                decoder=decoder,
                                interim_transcripts=args.interim,
-                               interim_beam=args.interim_beam)
+                               interim_beam=args.interim_beam,
+                               interim_device_beam=args.interim_device_beam)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
