@@ -14,10 +14,17 @@ checkpointing and resume.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 import jax
+
+if os.environ.get("TONE_TPU_FORCE_CPU"):
+    # Same escape hatch as the CLI: site plugins can force a (possibly
+    # tunneled) accelerator backend; this pins CPU reliably.
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -50,6 +57,9 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=5e-5)
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="gradient accumulation steps (effective batch = "
+                             "batch-size x grad-accum)")
     parser.add_argument("--out", type=Path, default=Path("finetuned"))
     parser.add_argument("--resume", type=Path, default=None)
     args = parser.parse_args()
@@ -77,7 +87,8 @@ def main() -> None:
     steps_per_epoch = max(len(items) // args.batch_size, 1)
     trainer = Trainer(config, TrainerConfig(
         learning_rate=args.lr,
-        total_steps=steps_per_epoch * args.epochs,
+        total_steps=max(steps_per_epoch * args.epochs // args.grad_accum, 1),
+        grad_accum_steps=args.grad_accum,
     ))
     state = trainer.create_state(variables)
     if args.resume:

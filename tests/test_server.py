@@ -91,3 +91,40 @@ def test_ws_server_capacity_rejection():
             engine.shutdown()
 
     asyncio.run(main())
+
+
+@pytest.mark.slow
+def test_metrics_endpoints():
+    """/metrics Prometheus exposition + /healthz + /v2/health/ready."""
+    import urllib.request
+
+    from tone_tpu.runtime.metrics import start_metrics_server
+
+    cfg = ToneConfig(compute_dtype="float32")
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    engine = MultiStreamEngine(variables, cfg, n_slots=2)
+    server = start_metrics_server(engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    try:
+        for path in ("/healthz", "/v2/health/ready"):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                assert r.status == 200
+
+        sid = engine.open_stream()
+        engine.feed(sid, np.zeros(2400, np.int32), is_last=True)
+        engine.tick()
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            body = r.read().decode()
+        assert "tone_ticks_total 1" in body
+        assert "tone_slots_total 2" in body
+        assert "tone_chunks_processed_total 1" in body
+
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()

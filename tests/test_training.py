@@ -136,3 +136,40 @@ def test_trainer_checkpoint_resume(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_grad_accumulation_equals_macro_batch():
+    """grad_accum_steps=2 over two half-batches updates params the same as
+    one step over the full batch (HF gradient_accumulation_steps parity)."""
+    cfg = _tiny_cfg()
+    # host copies: the donated train step consumes the device buffers, and
+    # both trainers must start from identical params
+    variables = jax.tree.map(
+        np.asarray, init_model_params(jax.random.PRNGKey(0), cfg))
+    mesh = make_mesh(n_data=2, n_model=1)
+
+    rng = np.random.default_rng(3)
+    feats = [{"input_values": rng.normal(0, 0.1, 4000).astype(np.float32),
+              "labels": l}
+             for l in ["привет мир", "да нет", "тест раз", "ещё тест"]]
+    collate = DataCollatorCTCWithPadding()
+    full = collate(feats)
+    halves = [collate(feats[:2]), collate(feats[2:])]
+
+    t_macro = Trainer(cfg, TrainerConfig(total_steps=4, learning_rate=3e-4),
+                      mesh=mesh)
+    s_macro = t_macro.create_state(jax.tree.map(jnp.asarray, variables))
+    s_macro, _ = t_macro.train_step(s_macro, full)
+
+    t_accum = Trainer(cfg, TrainerConfig(total_steps=4, learning_rate=3e-4,
+                                         grad_accum_steps=2), mesh=mesh)
+    s_accum = t_accum.create_state(jax.tree.map(jnp.asarray, variables))
+    for half in halves:
+        s_accum, _ = t_accum.train_step(s_accum, half)
+
+    flat_m = jax.tree_util.tree_leaves(s_macro.params)
+    flat_a = jax.tree_util.tree_leaves(s_accum.params)
+    for m, a in zip(flat_m, flat_a):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)

@@ -41,6 +41,10 @@ class TrainerConfig:
     total_steps: int = 1000
     weight_decay: float = 0.0
     max_grad_norm: float = 1.0
+    # >1 averages gradients over that many train_step calls before one
+    # optimizer update (HF Trainer's gradient_accumulation_steps) — the
+    # reference recipe's effective batch 64 under tighter HBM.
+    grad_accum_steps: int = 1
     seed: int = 0
 
 
@@ -66,10 +70,15 @@ def make_lr_schedule(cfg: TrainerConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    base = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(make_lr_schedule(cfg), weight_decay=cfg.weight_decay),
     )
+    if cfg.grad_accum_steps > 1:
+        # Clipping happens on the *accumulated* gradient (MultiSteps wraps
+        # the whole chain), matching HF Trainer semantics.
+        return optax.MultiSteps(base, every_k_schedule=cfg.grad_accum_steps)
+    return base
 
 
 class Trainer:
@@ -113,6 +122,14 @@ class Trainer:
                 return s._replace(
                     count=replicated_shardings(self.mesh, s.count),
                     mu=p_sh, nu=p_sh)
+            if hasattr(s, "inner_opt_state") and hasattr(s, "acc_grads"):
+                # optax.MultiSteps: the gradient accumulator mirrors params.
+                return s._replace(
+                    mini_step=replicated_shardings(self.mesh, s.mini_step),
+                    gradient_step=replicated_shardings(self.mesh,
+                                                       s.gradient_step),
+                    inner_opt_state=opt_shardings(s.inner_opt_state),
+                    acc_grads=p_sh)
             if isinstance(s, tuple) and not hasattr(s, "_fields"):
                 return tuple(opt_shardings(x) for x in s)
             return replicated_shardings(self.mesh, s)
