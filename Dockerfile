@@ -26,9 +26,13 @@ RUN python -m build --wheel
 # Model artifacts are fetched at build time so the image is self-contained
 # (reference Dockerfile does the same with `python -m tone download`).
 # jax[tpu] pulls libtpu; the build stage only needs CPU jax for the download.
-RUN pip install --no-cache-dir dist/*.whl jax huggingface_hub \
-    && tone-tpu download /models || \
-       echo "WARNING: artifact download failed (no network?); mount /models"
+RUN pip install --no-cache-dir dist/*.whl jax huggingface_hub
+# /models must exist even when the download fails (no network at build
+# time): the second stage COPYs it, and the compose file can volume-mount
+# real artifacts over the empty directory.
+RUN mkdir -p /models \
+    && { tone-tpu download /models \
+         || echo "WARNING: artifact download failed (no network?); mount /models"; }
 
 FROM python:3.11-slim
 

@@ -145,3 +145,23 @@ def test_carried_arena_matches_host_streaming_with_resets():
         got = top_texts(*beam_top_tokens(state))
         want = [h.result() for h in hosts]
         assert got == want
+
+
+def test_matches_host_with_leading_silence():
+    """Leading space/blank-heavy frames create the one legal 'twin' pair —
+    the empty beam and the leading-space beam share the empty text — whose
+    char extensions must merge exactly as the host search's dict merges
+    them (regression: the extension-to-self match alone split this mass)."""
+    sp = LABELS.index(" ")
+    rng = np.random.default_rng(17)
+    for _ in range(40):
+        t = int(rng.integers(10, 30))
+        logits = rng.normal(0.0, 3.0, (t, V))
+        logits[0, sp] += 6.0
+        logits[0, BLANK_ID] += 6.0
+        x = logits - logits.max(-1, keepdims=True)
+        lp = (x - np.log(np.exp(x).sum(-1, keepdims=True))).astype(np.float32)
+        got = beam_search_decode(lp[None], beam_width=16)[0]
+        want = ctc_beam_search(lp.astype(np.float64), LABELS, None,
+                               beam_width=16)
+        assert got == want

@@ -200,3 +200,16 @@ def test_rest_probing_layout(tmp_path):
             ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 3)))
             w = rng.choice(allw)
             assert cc.score(ctx, w) == pytest.approx(a.score(ctx, w), abs=1e-5)
+
+
+def test_bucket_count_uses_float32_like_kenlm():
+    """KenLM computes (uint64)(multiplier * (float)entries) in single
+    precision; for tables >= 2^24 entries the float64 result differs by one
+    and every later section offset would be wrong."""
+    from tone_tpu.decoding.kenlm_binary import _buckets
+
+    entries = (1 << 24) + 1
+    # float32 rounds entries to 2^24 exactly -> 1.5 * 2^24
+    assert _buckets(entries, 1.5) == 25165824
+    assert _buckets(entries, 1.5) != int(1.5 * float(entries))
+    assert _buckets(10, 1.5) == 15  # small tables unchanged

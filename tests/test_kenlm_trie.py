@@ -358,3 +358,12 @@ def test_array_trie_native_conversion(tmp_path):
         ctx = tuple(rng.choice(allw) for _ in range(rng.randint(0, 4)))
         w = rng.choice(allw)
         assert cc.score(ctx, w) == pytest.approx(py.score(ctx, w), abs=1e-5)
+
+
+def test_writer_rejects_one_bit_backoff(tmp_path):
+    """backoff bins 0/1 are reserved, so 1-bit backoff fields could only
+    ever store the reserved values; the writer must refuse instead of
+    silently truncating every backoff."""
+    ngrams = _synthetic_ngrams(13)
+    with pytest.raises(ValueError, match="backoff 2..25"):
+        write_kenlm_trie(ngrams, tmp_path / "q.bin", quant_bits=(8, 1))

@@ -292,7 +292,8 @@ def test_engine_interim_beam_one_inflight_and_queueing(variables, cfg):
     assert stream.beam.result() == ctc_beam_search(
         lp.astype(np.float64), LABELS, None, beam_width=20)
     with engine._interim_lock:
-        assert engine._interim_results.get(sid) == stream.beam.result()
+        assert engine._interim_results.get(sid) == (stream.beam_gen,
+                                                    stream.beam.result())
     engine.close(sid)
     engine.shutdown()
 

@@ -79,12 +79,19 @@ def _native_lm_path(model_path: Path) -> Path:
     ).hexdigest()[:16]
     cached = Path(tempfile.gettempdir()) / f"tone_tpu_lm_{key}.bin"
     if not cached.exists():
+        import os
+
         from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
         from tone_tpu.decoding.kenlm_trie import KenLMTrie, trie_to_ngrams
 
-        tmp = cached.with_suffix(".tmp")
-        write_kenlm_binary(trie_to_ngrams(KenLMTrie(model_path)), tmp)
-        tmp.replace(cached)
+        # Per-process temp name + atomic rename: concurrent converters
+        # each publish a complete file (last writer wins, same bytes).
+        tmp = cached.with_suffix(f".{os.getpid()}.tmp")
+        try:
+            write_kenlm_binary(trie_to_ngrams(KenLMTrie(model_path)), tmp)
+            tmp.replace(cached)
+        finally:
+            tmp.unlink(missing_ok=True)
     return cached
 
 
@@ -128,7 +135,9 @@ class BeamSearchCTCDecoder:
         if native_available() and model_path.suffix != ".gz":
             try:
                 native_lm = NativeLM(_native_lm_path(model_path))
-            except (RuntimeError, ValueError):
+            except (RuntimeError, ValueError, OSError):
+                # Conversion/scorer failure of any kind degrades to the
+                # pure-Python LM instead of failing decoder construction.
                 native_lm = None
         return cls(load_lm(model_path), native_lm=native_lm)
 
@@ -203,7 +212,7 @@ class DeviceBeamSearchCTCDecoder:
                  alpha: float = BeamSearchCTCDecoder.ALPHA,
                  beta: float = BeamSearchCTCDecoder.BETA,
                  beam_width: int = 32, nbest: int = 8,
-                 max_len: int = 640) -> None:
+                 max_len: int = 2048) -> None:
         self._lm = lm
         self.alpha = alpha
         self.beta = beta

@@ -117,8 +117,12 @@ def kenlm_model_type(path: str | Path) -> int | None:
 
 
 def _buckets(entries: int, multiplier: float) -> int:
-    # util::ProbingHashTable::Size — note the C float->uint64 truncation.
-    return max(entries + 1, int(multiplier * float(entries)))
+    # util::ProbingHashTable::Size computes (uint64)(multiplier *
+    # (float)entries) in *single* precision; emulate with float32 or the
+    # bucket count (hence every later section offset) is off by one for
+    # tables of >= 2^24 entries — normal for real ASR LMs.
+    scaled = np.float32(multiplier) * np.float32(entries)
+    return max(entries + 1, int(scaled))
 
 
 @dataclass

@@ -629,8 +629,13 @@ def write_kenlm_trie(
     quantized = quant_bits is not None
     if quantized:
         prob_bits, backoff_bits = quant_bits
-        if not (0 < prob_bits <= 25 and 0 < backoff_bits <= 25):
-            raise ValueError(f"quant bits out of range {quant_bits}")
+        # backoff needs >= 2 bits: indices 0/1 are the reserved
+        # no-extension/zero bins (lm/quantize.hh), so a 1-bit field has no
+        # room for actual backoff values and would silently truncate them.
+        if not (0 < prob_bits <= 25 and 2 <= backoff_bits <= 25):
+            raise ValueError(
+                f"quant bits out of range {quant_bits} "
+                "(prob 1..25, backoff 2..25)")
         quant_mid = []
         for n in range(2, order):
             level = sorted_levels[n - 2]

@@ -63,7 +63,7 @@ class BeamState(NamedTuple):
         return jnp.logaddexp(self.p_b, self.p_nb)
 
 
-def init_beam_state(batch: int, beam_width: int, max_len: int = 640) -> BeamState:
+def init_beam_state(batch: int, beam_width: int, max_len: int = 2048) -> BeamState:
     """Fresh state: beam 0 is the empty hypothesis, the rest are -inf
     placeholders with distinct hashes (so they can never merge with a live
     beam)."""
@@ -78,7 +78,10 @@ def init_beam_state(batch: int, beam_width: int, max_len: int = 640) -> BeamStat
         h1=jnp.broadcast_to(jnp.asarray(h1), (batch, beam_width)),
         h2=jnp.broadcast_to(jnp.asarray(h2), (batch, beam_width)),
         lc=jnp.full((batch, beam_width), -1, jnp.int32),
-        tokens=jnp.zeros((batch, beam_width, max_len), jnp.int32),
+        # int8: token ids are < 35; the default cap covers the longest
+        # possible phrase (the splitter force-splits at 2000 frames, and a
+        # phrase emits at most one token per frame)
+        tokens=jnp.zeros((batch, beam_width, max_len), jnp.int8),
         lens=jnp.zeros((batch, beam_width), jnp.int32),
     )
 
@@ -130,13 +133,33 @@ def _frame_step(carry, xs, *, token_min_logp):
     exp_pnb = jnp.where(is_space & (lc == SPACE_ID)[:, :, None],
                         NEG_INF, exp_pnb)
 
+    # --- merge extensions that share a parent text -------------------------
+    # Two live beams can carry the same collapsed text only when that text
+    # is empty: identity = (hash(text), lc-is-space flag), and for any
+    # non-empty text the flag is determined by the last character — so the
+    # one possible "twin" pair is the empty beam (lc=-1) and the
+    # leading-space beam (lc=space).  Their char extensions produce the
+    # same new text and must merge (the host search's dict does); fold the
+    # higher-indexed twin's extension mass into the lower's.
+    same_h = ((h1[:, :, None] == h1[:, None, :])
+              & (h2[:, :, None] == h2[:, None, :]))
+    upper = jnp.arange(w)[None, :, None] < jnp.arange(w)[None, None, :]
+    donates = same_h & upper                               # (B, Wj, Wi): i→j
+    donated = jnp.where(donates[:, :, :, None],
+                        exp_pnb[:, None, :, :], NEG_INF)
+    donated = jax.nn.logsumexp(donated, axis=2)            # (B, W, V-1)
+    char_ext = ~is_space                                   # space exts merge
+    exp_pnb = jnp.where(char_ext,                          # via self/lead paths
+                        jnp.logaddexp(exp_pnb, donated), exp_pnb)
+    donor = donates.any(axis=1)                            # (B, Wi)
+    exp_pnb = jnp.where(donor[:, :, None] & char_ext, NEG_INF, exp_pnb)
+
     # --- merge extensions into selves --------------------------------------
-    # Live beams always carry *distinct* collapsed texts (they are the
-    # representatives of the previous frame's merge), so two extension
-    # candidates can never produce the same text, and an extension can
-    # coincide with at most one *self* candidate (the beam whose text
-    # already equals parent-text + char).  Merging therefore reduces to a
-    # (W·(V-1)) × W identity match — no sort needed.
+    # With twins folded, remaining beams have distinct texts, so two
+    # extension candidates can never produce the same text, and an
+    # extension can coincide with at most one *self* candidate (the beam
+    # whose text already equals parent-text + char).  Merging therefore
+    # reduces to a (W·(V-1)) × W identity match — no sort needed.
     n_ext = w * n_char
     flat = lambda a: a.reshape(b_sz, n_ext)
     e_h1, e_h2 = flat(exp_h1), flat(exp_h2)
@@ -221,7 +244,7 @@ def _advance(state: BeamState, logprobs, active, token_min_logp) -> BeamState:
     pos = jnp.where(emask & (pos < l_max), pos, l_max)            # drop OOB
     b_idx = jnp.arange(b_sz)[:, None, None]
     w_idx = jnp.arange(w)[None, :, None]
-    tokens = old.at[b_idx, w_idx, pos].set(es, mode="drop")
+    tokens = old.at[b_idx, w_idx, pos].set(es.astype(jnp.int8), mode="drop")
     lens = jnp.minimum(base + emask.sum(axis=2), l_max)
 
     return BeamState(p_b, p_nb, h1, h2, lc, tokens, lens.astype(jnp.int32))
@@ -279,7 +302,7 @@ def beam_search_decode(
     *,
     beam_width: int = 16,
     token_min_logp: float = -5.0,
-    max_len: int = 640,
+    max_len: int = 2048,
 ) -> list[str]:
     """Decode a batch of (B, T, V) logprobs to texts on device (the
     beam-search counterpart of :func:`batched_greedy_decode`)."""

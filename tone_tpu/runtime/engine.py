@@ -113,7 +113,7 @@ class MultiStreamEngine:
                              and hasattr(decoder, "streaming"))
         self._device_beams = None       # lazy ops.beam_decode.BeamState
         self._device_beam_width = 8
-        self._device_beam_max_len = 256
+        self._device_beam_max_len = 2048  # longest force-split phrase
         self._interim_results: dict[int, str] = {}
         self._labels = config.labels
         self._splitter = BatchLogprobSplitter(n_slots)
@@ -307,9 +307,12 @@ class MultiStreamEngine:
                 self._interim_results = {}
             if done_interims:
                 with self._lock:
-                    for sid, text in done_interims.items():
+                    for sid, (gen, text) in done_interims.items():
                         stream = self._streams.get(sid)
-                        if stream is None:
+                        if stream is None or stream.beam_gen != gen:
+                            # A boundary finalized this phrase after the
+                            # worker stored its text: drop the stale interim
+                            # (it would repeat the delivered transcript).
                             continue
                         if text and text != stream.interim_sent:
                             stream.interim_sent = text
@@ -398,7 +401,10 @@ class MultiStreamEngine:
             # order matches task order; drop if a boundary superseded us.
             with self._interim_lock:
                 if stream.beam_gen == gen:
-                    self._interim_results[sid] = text
+                    # Tag with the generation: the tick thread re-checks at
+                    # drain time, because a phrase boundary may land between
+                    # this store and the next tick's drain.
+                    self._interim_results[sid] = (gen, text)
             return text
 
         stream.beam_task = self._decode_pool.submit(work)
