@@ -145,9 +145,12 @@ def _frame_step(carry, xs, *, token_min_logp):
               & (h2[:, :, None] == h2[:, None, :]))
     upper = jnp.arange(w)[None, :, None] < jnp.arange(w)[None, None, :]
     donates = same_h & upper                               # (B, Wj, Wi): i→j
-    donated = jnp.where(donates[:, :, :, None],
-                        exp_pnb[:, None, :, :], NEG_INF)
-    donated = jax.nn.logsumexp(donated, axis=2)            # (B, W, V-1)
+    # At most one real twin pair can exist (only the empty text repeats),
+    # so each receiver has at most one live donor — a gather suffices.
+    has_donor = donates.any(axis=2)                        # (B, Wj)
+    donor_idx = jnp.argmax(donates, axis=2)                # (B, Wj)
+    donated = jnp.take_along_axis(exp_pnb, donor_idx[:, :, None], axis=1)
+    donated = jnp.where(has_donor[:, :, None], donated, NEG_INF)
     char_ext = ~is_space                                   # space exts merge
     exp_pnb = jnp.where(char_ext,                          # via self/lead paths
                         jnp.logaddexp(exp_pnb, donated), exp_pnb)
