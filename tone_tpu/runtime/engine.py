@@ -325,6 +325,30 @@ class MultiStreamEngine:
         self.stats.last_host_seconds = elapsed - t_device
         return results
 
+    def warmup(self) -> None:
+        """Compile every per-tick device program before serving traffic:
+        the arena step, and — when enabled — the device beam arena's
+        reset/advance/readout (otherwise the first real tick pays a
+        multi-second compile mid-stream)."""
+        self.arena.warmup()
+        if self.interim_device_beam:
+            from tone_tpu.ops.beam_decode import (
+                beam_advance, beam_reset, beam_top_tokens, init_beam_state)
+
+            n = self.arena.n_slots
+            if self._device_beams is None:
+                self._device_beams = init_beam_state(
+                    n, self._device_beam_width, self._device_beam_max_len)
+            state = beam_reset(self._device_beams, np.zeros(n, bool))
+            frames = self.config.encoder.chunk_size
+            # zero active frames: compiles the full program, states unchanged
+            state = beam_advance(
+                state,
+                np.full((n, frames, len(self._labels) + 1), -3.5, np.float32),
+                np.zeros(n, np.int32))
+            np.asarray(beam_top_tokens(state)[0])
+            self._device_beams = state
+
     def _tick_device_beams(self, logprobs, ticking, by_slot, reset):
         """Advance the device-resident beam arena one tick and read back the
         best hypothesis per slot.

@@ -222,7 +222,7 @@ async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 80
 
     server = TranscriptionServer(engine)
     logger.info("warming up (compiling the %d-slot tick step)...", engine.arena.n_slots)
-    await asyncio.to_thread(engine.arena.warmup)
+    await asyncio.to_thread(engine.warmup)
     tick_task = asyncio.create_task(server.tick_loop())
     async with websockets.serve(server.handle, host, port, max_size=2**22,
                                 process_request=_static_page_handler()):
