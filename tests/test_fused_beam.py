@@ -1,0 +1,149 @@
+"""Shallow fusion on device vs the host fused beam search."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from tone_tpu.config import BLANK_ID, LABELS
+from tone_tpu.decoding.beam import ctc_beam_search
+from tone_tpu.decoding.device_lm import DeviceLM
+from tone_tpu.decoding.lm import ArpaLM
+from tone_tpu.ops.beam_decode import (
+    fused_beam_advance,
+    fused_beam_nbest,
+    init_fused_beam_state,
+)
+
+V = len(LABELS) + 1
+
+
+def _corpus_lm(seed=0, n_words=25, order=3):
+    rng = random.Random(seed)
+    chars = [c for c in LABELS if c != " "][:15]
+    words = ["".join(rng.choice(chars) for _ in range(rng.randint(2, 4)))
+             for _ in range(n_words)]
+    sents = [[rng.choice(words) for _ in range(rng.randint(1, 5))]
+             for _ in range(300)]
+    counters = [Counter() for _ in range(order)]
+    for s in sents:
+        toks = ["<s>"] + s + ["</s>"]
+        for n in range(1, order + 1):
+            for i in range(len(toks) - n + 1):
+                counters[n - 1][tuple(toks[i:i + n])] += 1
+    counters[0][("<unk>",)] += 1
+    ngrams = []
+    for n, counter in enumerate(counters, start=1):
+        tot = sum(counter.values())
+        ngrams.append({g: (round(math.log10(c / tot), 4),
+                           0.0 if n == order else -0.35)
+                       for g, c in counter.items()})
+    return ngrams, words
+
+
+@pytest.fixture(scope="module")
+def lm_pair():
+    ngrams, words = _corpus_lm()
+    return ArpaLM(ngrams), DeviceLM.from_ngrams(ngrams), words
+
+
+def _peaked(rng, t, lead_silence=False):
+    logits = rng.normal(0.0, 3.0, (t, V))
+    if lead_silence:
+        logits[0, LABELS.index(" ")] += 5.0
+        logits[0, BLANK_ID] += 5.0
+    x = logits - logits.max(-1, keepdims=True)
+    return (x - np.log(np.exp(x).sum(-1, keepdims=True))).astype(np.float32)
+
+
+def test_device_lm_scores_match_arpa(lm_pair):
+    arpa, dev, words = lm_pair
+    rng = random.Random(1)
+    for _ in range(1500):
+        ctx = tuple(rng.choice(words) for _ in range(rng.randint(0, 4)))
+        w = rng.choice(words + ["oov"])
+        assert dev.score(ctx, w) == pytest.approx(arpa.score(ctx, w), abs=1e-4)
+
+
+def test_fused_matches_host_fusion(lm_pair):
+    """Exact transcript parity with the host shallow-fusion search,
+    including leading-silence twin cases and trailing-partial ranking."""
+    arpa, dev, _ = lm_pair
+    arrs = dev.arrays()
+    rng = np.random.default_rng(2)
+    for trial in range(24):
+        lp = _peaked(rng, int(rng.integers(10, 40)),
+                     lead_silence=(trial % 3 == 0))
+        want = ctc_beam_search(lp.astype(np.float64), LABELS, arpa,
+                               beam_width=12)
+        st = init_fused_beam_state(1, 12, dev)
+        st = fused_beam_advance(st, lp[None], arrs)
+        assert fused_beam_nbest(st, dev, 1)[0][0][0] == want
+
+
+def test_fused_batch_and_lengths(lm_pair):
+    _, dev, _ = lm_pair
+    arrs = dev.arrays()
+    rng = np.random.default_rng(3)
+    a, b = _peaked(rng, 25), _peaked(rng, 14)
+    padded = np.stack([a, np.pad(b, ((0, 11), (0, 0)))])
+    st = init_fused_beam_state(2, 8, dev)
+    st = fused_beam_advance(st, padded, arrs, np.array([25, 14]))
+    batched = [h[0][0] for h in fused_beam_nbest(st, dev, 1)]
+    singles = []
+    for lp in (a, b):
+        s = init_fused_beam_state(1, 8, dev)
+        s = fused_beam_advance(s, lp[None], arrs)
+        singles.append(fused_beam_nbest(s, dev, 1)[0][0][0])
+    assert batched == singles
+
+
+def test_fused_chunk_split_invariance(lm_pair):
+    _, dev, _ = lm_pair
+    arrs = dev.arrays()
+    rng = np.random.default_rng(4)
+    lp = _peaked(rng, 30)[None]
+    whole = fused_beam_advance(init_fused_beam_state(1, 8, dev), lp, arrs)
+    split = fused_beam_advance(init_fused_beam_state(1, 8, dev),
+                               lp[:, :13], arrs)
+    split = fused_beam_advance(split, lp[:, 13:], arrs)
+    np.testing.assert_allclose(np.asarray(whole.scores),
+                               np.asarray(split.scores), rtol=1e-5)
+    assert fused_beam_nbest(whole, dev, 3) == fused_beam_nbest(split, dev, 3)
+
+
+def test_lm_steers_pruning_over_acoustics(lm_pair):
+    """Craft a case where the LM must flip the acoustically-best word —
+    the fusion actually steers the search, and matches the host."""
+    ngrams, words = _corpus_lm(seed=9, n_words=8)
+    # pick two distinct same-length words; strongly favor one
+    by_len: dict[int, list[str]] = {}
+    for w in sorted(set(words)):
+        by_len.setdefault(len(w), []).append(w)
+    favored, other = next(v[:2] for v in by_len.values() if len(v) >= 2)
+    for tbl in ngrams:  # bias every order, or higher-order grams dominate
+        for g in list(tbl):
+            if g[-1] not in ("<s>", "</s>", "<unk>"):
+                prob = 0.0 if g[-1] == favored else -8.0
+                tbl[g] = (prob, tbl[g][1])
+    arpa, dev = ArpaLM(ngrams), DeviceLM.from_ngrams(ngrams)
+
+    frames = np.full((2 * len(other) + 1, V), -14.0, np.float32)
+    for i, (c_o, c_f) in enumerate(zip(other, favored)):
+        frames[2 * i, LABELS.index(c_o)] = math.log(0.5)
+        frames[2 * i, LABELS.index(c_f)] = math.log(0.45)
+        frames[2 * i + 1, BLANK_ID] = math.log(0.9)
+    frames[-1, LABELS.index(" ")] = math.log(0.9)
+    x = frames - frames.max(-1, keepdims=True)
+    lp = (x - np.log(np.exp(x).sum(-1, keepdims=True))).astype(np.float32)
+
+    want = ctc_beam_search(lp.astype(np.float64), LABELS, arpa,
+                           alpha=1.2, beam_width=16)
+    st = init_fused_beam_state(1, 16, dev)
+    st = fused_beam_advance(st, lp[None], dev.arrays(), alpha=1.2)
+    got = fused_beam_nbest(st, dev, 1, alpha=1.2)[0][0][0]
+    assert got == want == favored

@@ -32,6 +32,10 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                         "LM rescoring on the host (high-throughput path)")
     p.add_argument("--lm", type=Path, default=None,
                    help="LM for beam search (ARPA text or KenLM binary)")
+    p.add_argument("--fused-lm", action="store_true",
+                   help="with --decoder device-beam: fuse the LM into the "
+                        "on-TPU search (full shallow fusion) instead of "
+                        "n-best rescoring")
     p.add_argument("--chunk-ms", type=int, default=300)
 
 
@@ -62,7 +66,8 @@ def _build_pipeline(args):
     elif args.decoder == "device-beam":
         from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
 
-        decoder = (DeviceBeamSearchCTCDecoder.from_local(args.lm) if args.lm
+        decoder = (DeviceBeamSearchCTCDecoder.from_local(
+                       args.lm, fusion=args.fused_lm) if args.lm
                    else DeviceBeamSearchCTCDecoder())
     else:
         decoder = GreedyCTCDecoder()

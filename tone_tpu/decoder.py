@@ -212,16 +212,40 @@ class DeviceBeamSearchCTCDecoder:
                  alpha: float = BeamSearchCTCDecoder.ALPHA,
                  beta: float = BeamSearchCTCDecoder.BETA,
                  beam_width: int = 32, nbest: int = 8,
-                 max_len: int = 2048) -> None:
-        self._lm = lm
+                 max_len: int = 2048, fusion: bool = False) -> None:
+        """``fusion=False`` (default): LM-free device search + host n-best
+        rescoring.  ``fusion=True``: the LM itself is fused into the device
+        search (``lm`` must be a ``decoding.device_lm.DeviceLM`` or expose
+        ``_ngrams`` tables to build one) — full shallow fusion with zero
+        host work in the search loop."""
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
         self.nbest = nbest
         self.max_len = max_len
+        self.fusion = fusion and lm is not None
+        if self.fusion:
+            from tone_tpu.decoding.device_lm import DeviceLM
+
+            if not isinstance(lm, DeviceLM):
+                ngrams = getattr(lm, "_ngrams", None)
+                if ngrams is None:
+                    raise TypeError(
+                        "fusion=True needs a DeviceLM (or an LM exposing "
+                        "its n-gram tables); got "
+                        f"{type(lm).__name__} — use DeviceLM.from_file")
+                lm = DeviceLM.from_ngrams(ngrams)
+            self._lm_arrays = lm.arrays()
+        self._lm = lm
 
     @classmethod
-    def from_local(cls, model_path: str | Path, **kwargs) -> "DeviceBeamSearchCTCDecoder":
+    def from_local(cls, model_path: str | Path, *, fusion: bool = False,
+                   **kwargs) -> "DeviceBeamSearchCTCDecoder":
+        if fusion:
+            from tone_tpu.decoding.device_lm import DeviceLM
+
+            return cls(DeviceLM.from_file(Path(model_path)), fusion=True,
+                       **kwargs)
         from tone_tpu.decoding.lm import load_lm
 
         return cls(load_lm(Path(model_path)), **kwargs)
@@ -230,6 +254,16 @@ class DeviceBeamSearchCTCDecoder:
         _validate_logprobs(logprobs)
         return self.forward_batch([logprobs])[0]
 
+    def _pad_batch(self, logprobs_list):
+        lengths = [lp.shape[0] for lp in logprobs_list]
+        t_pad = max(-(-max(lengths) // 64) * 64, 64)
+        b_pad = 1 << (len(logprobs_list) - 1).bit_length()
+        v = logprobs_list[0].shape[1]
+        padded = np.zeros((b_pad, t_pad, v), np.float32)
+        for row, lp in enumerate(logprobs_list):
+            padded[row, :lp.shape[0]] = lp
+        return padded, np.array(lengths + [0] * (b_pad - len(logprobs_list)))
+
     def forward_batch(self, logprobs_list) -> list[str]:
         """Decode a list of (L_i, vocab+1) phrases in one device call.
 
@@ -237,23 +271,31 @@ class DeviceBeamSearchCTCDecoder:
         so XLA compiles one program per bucket, not per shape — the same
         policy as OfflineTranscriber's acoustic batching.
         """
+        if not logprobs_list:
+            return []
+        n = len(logprobs_list)
+        padded, lengths = self._pad_batch(logprobs_list)
+
+        if self.fusion:
+            from tone_tpu.ops.beam_decode import (
+                fused_beam_advance, fused_beam_nbest, init_fused_beam_state)
+
+            state = init_fused_beam_state(padded.shape[0], self.beam_width,
+                                          self._lm, self.max_len)
+            state = fused_beam_advance(state, padded, self._lm_arrays,
+                                       lengths, alpha=self.alpha,
+                                       beta=self.beta)
+            hyps = fused_beam_nbest(state, self._lm, 1,
+                                    alpha=self.alpha, beta=self.beta)
+            return [h[0][0] if h else "" for h in hyps[:n]]
+
         from tone_tpu.decoding.rescore import rescore_nbest
         from tone_tpu.ops.beam_decode import (
             beam_advance, beam_nbest, init_beam_state)
 
-        if not logprobs_list:
-            return []
-        n = len(logprobs_list)
-        lengths = [lp.shape[0] for lp in logprobs_list]
-        t_pad = max(-(-max(lengths) // 64) * 64, 64)
-        b_pad = 1 << (n - 1).bit_length()
-        v = logprobs_list[0].shape[1]
-        padded = np.zeros((b_pad, t_pad, v), np.float32)
-        for row, lp in enumerate(logprobs_list):
-            padded[row, :lp.shape[0]] = lp
-        state = init_beam_state(b_pad, self.beam_width, self.max_len)
-        state = beam_advance(state, padded,
-                             np.array(lengths + [0] * (b_pad - n)))
+        state = init_beam_state(padded.shape[0], self.beam_width,
+                                self.max_len)
+        state = beam_advance(state, padded, lengths)
         out = []
         for hyps in beam_nbest(state, self.nbest)[:n]:
             ranked = rescore_nbest(hyps, self._lm,

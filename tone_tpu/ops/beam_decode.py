@@ -362,3 +362,384 @@ def top_texts(tokens, lens) -> list[str]:
     tokens, lens = np.asarray(tokens), np.asarray(lens)
     return ["".join(LABELS[i] for i in row[:n]).strip()
             for row, n in zip(tokens, lens)]
+
+
+# ---------------------------------------------------------------------------
+# Shallow fusion on device: the word n-gram LM (tone_tpu/decoding/device_lm)
+# joins the search itself — per-beam word-context ids, a vocab-trie node for
+# the in-progress word, and the accumulated fusion score ride the beam
+# state; the space expansion scores its completed word with a Katz-backoff
+# walk over the LM's hash arrays, entirely inside the jitted frame step.
+# This is the full pyctcdecode-style fusion (the LM steers pruning), not
+# just n-best rescoring.
+# ---------------------------------------------------------------------------
+
+LOG10_TO_LN = float(np.log(10.0))
+# plain numpy: module import must not trigger JAX backend initialization
+_LM_M1 = np.uint32(1000003)
+_LM_M2 = np.uint32(2654435761)
+_LM_PROBE = 8
+
+
+class FusedBeamState(NamedTuple):
+    base: BeamState
+    ctx: jnp.ndarray    # (B, W, order-1) int32 word ids, -1 = missing
+    node: jnp.ndarray   # (B, W) int32 vocab-trie node; 0 root, -1 dead
+    lm_sc: jnp.ndarray  # (B, W) f32 accumulated fusion score (natural log)
+
+    @property
+    def scores(self) -> jnp.ndarray:
+        return self.base.totals + self.lm_sc
+
+
+def init_fused_beam_state(batch: int, beam_width: int, lm,
+                          max_len: int = 2048) -> FusedBeamState:
+    """``lm`` is a tone_tpu.decoding.device_lm.DeviceLM."""
+    k = lm.order - 1
+    ctx = np.full((batch, beam_width, k), -1, np.int32)
+    if k:
+        ctx[:, :, -1] = lm.bos_id  # host begin_context() == ("<s>",)
+    return FusedBeamState(
+        base=init_beam_state(batch, beam_width, max_len),
+        ctx=jnp.asarray(ctx),
+        node=jnp.zeros((batch, beam_width), jnp.int32),
+        lm_sc=jnp.zeros((batch, beam_width), jnp.float32),
+    )
+
+
+def _lm_mix(h1, h2, wid):
+    u = (wid + 1).astype(jnp.uint32)
+    return (h1 * _LM_M1) ^ u, (h2 * _LM_M2) + u
+
+
+def _lm_hash(ids_list):
+    """Chain hash of a static-length list of (B, W) id arrays."""
+    shape = ids_list[0].shape
+    h1 = jnp.full(shape, 0x811C9DC5, jnp.uint32)
+    h2 = jnp.full(shape, 0x85EBCA6B, jnp.uint32)
+    for wid in ids_list:
+        h1, h2 = _lm_mix(h1, h2, wid)
+    return h1, h2
+
+
+def _lm_lookup(lm, h1, h2):
+    """(found, prob, backoff) for query hashes of any shape — one
+    contiguous-window gather over the open-addressing table (bucket =
+    h1 & mask, linear probe; tone_tpu/decoding/device_lm.py).  The fused
+    search is gather-latency-bound, so a single bounded probe beats any
+    log-round search."""
+    from tone_tpu.decoding.device_lm import PROBE
+
+    size = lm.keys1.shape[0]
+    mask = jnp.uint32(size - 1)
+    shift = 32 - size.bit_length() + 1  # Fibonacci hashing (see device_lm)
+    base = (h1 * jnp.uint32(0x9E3779B1)) >> shift
+    j = base[..., None] + jnp.arange(PROBE, dtype=jnp.uint32)
+    j = (j & mask).astype(jnp.int32)
+    hit = (jnp.take(lm.keys1, j) == h1[..., None]) \
+        & (jnp.take(lm.keys2, j) == h2[..., None])       # (..., PROBE)
+    found = hit.any(axis=-1)
+    first = jnp.argmax(hit, axis=-1)
+    sel = jnp.take_along_axis(j, first[..., None], axis=-1)[..., 0]
+    prob = jnp.where(found, jnp.take(lm.probs, sel), 0.0)
+    bo = jnp.where(found, jnp.take(lm.backoffs, sel), 0.0)
+    return found, prob, bo
+
+
+def _lm_score(lm, ctx, wid):
+    """log10 P(wid | ctx) with Katz backoff; ctx (..., K-1) int32 (-1 =
+    missing), wid (...).  Twin of DeviceLM.score_ids / ArpaLM.score:
+    longest context first, accumulating dropped contexts' backoffs.  All
+    (2K-1) gram/context queries go through ONE stacked lookup."""
+    k_ctx = ctx.shape[-1]
+    # chain hash per context suffix length L (ids hashed left to right)
+    suffix_h = {}
+    for level in range(1, k_ctx + 1):
+        h1 = jnp.full(wid.shape, 0x811C9DC5, jnp.uint32)
+        h2 = jnp.full(wid.shape, 0x85EBCA6B, jnp.uint32)
+        for j in range(level):
+            h1, h2 = _lm_mix(h1, h2, ctx[..., k_ctx - level + j])
+        suffix_h[level] = (h1, h2)
+    g0 = _lm_mix(jnp.full(wid.shape, 0x811C9DC5, jnp.uint32),
+                 jnp.full(wid.shape, 0x85EBCA6B, jnp.uint32), wid)
+    gram_h = {0: g0}
+    for level in range(1, k_ctx + 1):
+        gram_h[level] = _lm_mix(*suffix_h[level], wid)
+
+    q1 = jnp.stack([gram_h[L][0] for L in range(k_ctx + 1)]
+                   + [suffix_h[L][0] for L in range(1, k_ctx + 1)])
+    q2 = jnp.stack([gram_h[L][1] for L in range(k_ctx + 1)]
+                   + [suffix_h[L][1] for L in range(1, k_ctx + 1)])
+    found, prob, bo = _lm_lookup(lm, q1, q2)
+
+    done = jnp.zeros(wid.shape, bool)
+    result = jnp.zeros(wid.shape, jnp.float32)
+    backoff_sum = jnp.zeros(wid.shape, jnp.float32)
+    for level in range(k_ctx, -1, -1):
+        valid = jnp.ones(wid.shape, bool) if level == 0 \
+            else ctx[..., k_ctx - level] >= 0
+        hit = valid & found[level] & ~done
+        result = jnp.where(hit, prob[level] + backoff_sum, result)
+        done |= hit
+        if level >= 1:
+            ci = k_ctx + level  # suffix_h[level] position in the stack
+            backoff_sum = jnp.where(valid & found[ci] & ~done,
+                                    backoff_sum + bo[ci], backoff_sum)
+    return result
+
+
+def _trie_child(lm, node, char):
+    """Vocab-trie transition via the edge hash table; -1 propagates
+    (dead = not a vocab prefix)."""
+    from tone_tpu.decoding.device_lm import PROBE
+
+    n_chars = len(LABELS)
+    key = node.astype(jnp.uint32) * n_chars + char.astype(jnp.uint32)
+    size = lm.edge_keys.shape[0]
+    mask = jnp.uint32(size - 1)
+    shift = 32 - size.bit_length() + 1  # Fibonacci hashing (see device_lm)
+    base = (key * jnp.uint32(0x9E3779B1)) >> shift
+    j = base[..., None] + jnp.arange(PROBE, dtype=jnp.uint32)
+    j = (j & mask).astype(jnp.int32)
+    hit = jnp.take(lm.edge_keys, j) == key[..., None]
+    found = hit.any(axis=-1) & (node >= 0)
+    first = jnp.argmax(hit, axis=-1)
+    sel = jnp.take_along_axis(j, first[..., None], axis=-1)[..., 0]
+    return jnp.where(found, jnp.take(lm.edge_child, sel), -1)
+
+
+def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
+    """One fused frame: the LM-free candidate construction and merging of
+    _frame_step, plus the LM riding the beam state.
+
+    Cost discipline (the fused path is gather-latency-bound): the only
+    pre-prune LM work is ONE word score per beam (the space expansion needs
+    it in the ranking); trie/context/score state transitions happen after
+    top-k on the W survivors, reconstructed from (parent, emitted) — a
+    single (B, W) trie lookup per frame instead of (B, W, V-1).  Merged
+    candidates always carry identical LM fields (they are a function of the
+    collapsed text alone), so reconstruction from any representative is
+    sound."""
+    p_b, p_nb, h1, h2, lc, ctx, node, lm_sc = carry
+    frame, active = xs
+    b_sz, w = p_b.shape
+    v_total = frame.shape[-1]
+    n_char = v_total - 1
+    k_ctx = ctx.shape[-1]
+
+    ptot = jnp.logaddexp(p_b, p_nb)
+    amax = jnp.argmax(frame, axis=-1)
+    tokmask = (frame >= token_min_logp) | (
+        jnp.arange(v_total)[None, :] == amax[:, None])
+    p = jnp.where(tokmask, frame, NEG_INF)
+
+    p_blank = p[:, BLANK_ID][:, None]
+    p_at_lc = jnp.take_along_axis(p, jnp.clip(lc, 0, v_total - 1), axis=1)
+    p_at_lc = jnp.where(lc >= 0, p_at_lc, NEG_INF)
+    self_pb = ptot + p_blank
+    self_pnb = jnp.where(lc == SPACE_ID, ptot + p_at_lc, p_nb + p_at_lc)
+
+    v_ids = jnp.arange(n_char, dtype=jnp.int32)
+    pv = p[:, :n_char][:, None, :]
+    is_rep = v_ids[None, None, :] == lc[:, :, None]
+    src = jnp.where(is_rep, p_b[:, :, None], ptot[:, :, None])
+    exp_pnb = src + pv
+    is_space = (v_ids == SPACE_ID)[None, None, :]
+    lead_space = is_space & (lc == -1)[:, :, None]
+    h1x, h2x = _mix(h1[:, :, None], h2[:, :, None], v_ids[None, None, :])
+    exp_h1 = jnp.where(lead_space, h1[:, :, None], h1x)
+    exp_h2 = jnp.where(lead_space, h2[:, :, None], h2x)
+    exp_lc = jnp.broadcast_to(v_ids[None, None, :], exp_pnb.shape)
+    exp_e = jnp.where(lead_space, -1, exp_lc)
+    exp_pnb = jnp.where(is_space & (lc == SPACE_ID)[:, :, None],
+                        NEG_INF, exp_pnb)
+
+    # --- the one pre-prune LM computation: the space expansion's word ------
+    word_event = (lc >= 0) & (lc != SPACE_ID)                # (B, W)
+    wid = jnp.take(lm.node_word, jnp.clip(node, 0, None))
+    wid = jnp.where((node >= 0) & (wid >= 0), wid, lm.unk_id)
+    delta = (alpha * LOG10_TO_LN) * _lm_score(lm, ctx, wid) + beta
+    exp_lm = lm_sc[:, :, None] + jnp.where(
+        is_space & word_event[:, :, None], delta[:, :, None], 0.0)
+
+    # --- twin fold (probability only; twins share identical LM fields) ----
+    same_h = ((h1[:, :, None] == h1[:, None, :])
+              & (h2[:, :, None] == h2[:, None, :]))
+    upper = jnp.arange(w)[None, :, None] < jnp.arange(w)[None, None, :]
+    donates = same_h & upper
+    has_donor = donates.any(axis=2)
+    donor_idx = jnp.argmax(donates, axis=2)
+    donated = jnp.take_along_axis(exp_pnb, donor_idx[:, :, None], axis=1)
+    donated = jnp.where(has_donor[:, :, None], donated, NEG_INF)
+    char_ext = ~is_space
+    exp_pnb = jnp.where(char_ext,
+                        jnp.logaddexp(exp_pnb, donated), exp_pnb)
+    donor = donates.any(axis=1)
+    exp_pnb = jnp.where(donor[:, :, None] & char_ext, NEG_INF, exp_pnb)
+
+    # --- extension-to-self merge (probability only, as above) -------------
+    n_ext = w * n_char
+    flat = lambda a: a.reshape(b_sz, n_ext)
+    e_h1, e_h2 = flat(exp_h1), flat(exp_h2)
+    e_lc, e_e = flat(exp_lc), flat(exp_e)
+    e_pnb = flat(exp_pnb)
+    e_flag = e_lc == SPACE_ID
+    s_flag = lc == SPACE_ID
+    match = ((e_h1[:, None, :] == h1[:, :, None])
+             & (e_h2[:, None, :] == h2[:, :, None])
+             & (e_flag[:, None, :] == s_flag[:, :, None]))
+    contrib = jnp.where(match, e_pnb[:, None, :], NEG_INF)
+    m_self_pnb = jnp.logaddexp(self_pnb, jax.nn.logsumexp(contrib, axis=-1))
+    e_pnb = jnp.where(match.any(axis=1), NEG_INF, e_pnb)
+
+    # --- flatten, rank by acoustic + fusion score, keep best W ------------
+    iota_w32 = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                                (b_sz, w))
+    e_parent = flat(jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.int32)[None, :, None], exp_pnb.shape))
+    ccat = lambda s, e: jnp.concatenate([s, e], axis=1)
+    c_h1, c_h2 = ccat(h1, e_h1), ccat(h2, e_h2)
+    c_lc = ccat(lc, e_lc)
+    c_pb = ccat(self_pb, jnp.full_like(e_pnb, NEG_INF))
+    c_pnb = ccat(m_self_pnb, e_pnb)
+    c_parent = ccat(iota_w32, e_parent)
+    c_e = ccat(jnp.full((b_sz, w), -1, jnp.int32), e_e)
+    c_lm = ccat(lm_sc, flat(exp_lm))
+    tot = jnp.logaddexp(c_pb, c_pnb) + c_lm
+
+    _, idx = jax.lax.top_k(tot, w)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    n_parent, n_e = take(c_parent), take(c_e)
+
+    # --- post-prune LM state transitions on the W survivors ---------------
+    takep = lambda a: jnp.take_along_axis(a, n_parent, axis=1)
+    shifted = (jnp.concatenate([ctx[..., 1:], wid[..., None]], axis=-1)
+               if k_ctx else ctx)
+    completed = n_e == SPACE_ID        # space with a word event
+    p_ctx = jnp.take_along_axis(ctx, n_parent[..., None], axis=1)
+    p_shifted = jnp.take_along_axis(shifted, n_parent[..., None], axis=1)
+    new_ctx = jnp.where(completed[..., None], p_shifted, p_ctx)
+    p_node = takep(node)
+    is_char = (n_e >= 0) & ~completed
+    child = _trie_child(lm, p_node, jnp.clip(n_e, 0, None))
+    new_node = jnp.where(completed, 0, jnp.where(is_char, child, p_node))
+    new_lm = takep(lm_sc) + jnp.where(completed, takep(delta), 0.0)
+
+    keep = active[:, None]
+    out_parent = jnp.where(keep, n_parent, iota_w32)
+    out_e = jnp.where(keep, n_e, -1)
+    carry = (
+        jnp.where(keep, take(c_pb), p_b),
+        jnp.where(keep, take(c_pnb), p_nb),
+        jnp.where(keep, take(c_h1), h1),
+        jnp.where(keep, take(c_h2), h2),
+        jnp.where(keep, take(c_lc), lc),
+        jnp.where(keep[..., None], new_ctx, ctx),
+        jnp.where(keep, new_node, node),
+        jnp.where(keep, new_lm, lm_sc),
+    )
+    return carry, (out_parent, out_e)
+
+
+def _advance_fused(state: FusedBeamState, logprobs, active, lm,
+                   alpha, beta, token_min_logp) -> FusedBeamState:
+    base = state.base
+    b_sz = base.p_b.shape[0]
+    w = base.p_b.shape[1]
+    l_max = base.tokens.shape[-1]
+
+    carry = (base.p_b, base.p_nb, base.h1, base.h2, base.lc,
+             state.ctx, state.node, state.lm_sc)
+    step = lambda c, xs: _fused_frame_step(
+        c, xs, lm=lm, alpha=alpha, beta=beta, token_min_logp=token_min_logp)
+    carry, (parents, emits) = jax.lax.scan(
+        step, carry,
+        (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
+    p_b, p_nb, h1, h2, lc, ctx, node, lm_sc = carry
+
+    def back(w_cur, pe):
+        parent_t, emit_t = pe
+        e = jnp.take_along_axis(emit_t, w_cur, axis=1)
+        return jnp.take_along_axis(parent_t, w_cur, axis=1), e
+
+    iota_w = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                              (b_sz, w))
+    w0, es = jax.lax.scan(back, iota_w, (parents, emits), reverse=True)
+
+    base_lens = jnp.take_along_axis(base.lens, w0, axis=1)
+    old = jnp.take_along_axis(base.tokens, w0[:, :, None], axis=1)
+    es = jnp.moveaxis(es, 0, 2)
+    emask = es >= 0
+    offs = jnp.cumsum(emask, axis=2) - emask
+    pos = base_lens[:, :, None] + offs
+    pos = jnp.where(emask & (pos < l_max), pos, l_max)
+    b_idx = jnp.arange(b_sz)[:, None, None]
+    w_idx = jnp.arange(w)[None, :, None]
+    tokens = old.at[b_idx, w_idx, pos].set(es.astype(jnp.int8), mode="drop")
+    lens = jnp.minimum(base_lens + emask.sum(axis=2), l_max)
+
+    return FusedBeamState(
+        base=BeamState(p_b, p_nb, h1, h2, lc, tokens,
+                       lens.astype(jnp.int32)),
+        ctx=ctx, node=node, lm_sc=lm_sc)
+
+
+_advance_fused_jit = jax.jit(_advance_fused)
+
+
+def fused_beam_advance(
+    state: FusedBeamState,
+    logprobs,
+    lm_arrays,
+    lengths=None,
+    *,
+    alpha: float = 0.4,
+    beta: float = 0.9,
+    token_min_logp: float = -5.0,
+) -> FusedBeamState:
+    """Consume (B, T, V) frames with the LM fused into the search.
+
+    ``lm_arrays`` is ``DeviceLM.arrays()``; one program is compiled per LM
+    shape.  Same masking semantics as :func:`beam_advance`.
+    """
+    logprobs = jnp.asarray(logprobs, jnp.float32)
+    b_sz, t_max, _ = logprobs.shape
+    if lengths is None:
+        active = jnp.ones((b_sz, t_max), bool)
+    else:
+        active = jnp.arange(t_max)[None, :] < jnp.asarray(lengths)[:, None]
+    return _advance_fused_jit(state, logprobs, active, lm_arrays,
+                              jnp.float32(alpha), jnp.float32(beta),
+                              jnp.float32(token_min_logp))
+
+
+def fused_beam_nbest(
+    state: FusedBeamState, lm, n: int = 1, *,
+    alpha: float = 0.4, beta: float = 0.9,
+) -> list[list[tuple[str, float]]]:
+    """Host readout with the host search's final ranking: acoustic total +
+    accumulated fusion score + the provisional score of the trailing
+    in-progress word (beam.py StreamingBeamSearch.result())."""
+    totals = np.asarray(state.base.totals)
+    lm_sc = np.asarray(state.lm_sc)
+    tokens = np.asarray(state.base.tokens)
+    lens = np.asarray(state.base.lens)
+    ctxs = np.asarray(state.ctx)
+    out = []
+    for b in range(totals.shape[0]):
+        scored = []
+        for wi in range(totals.shape[1]):
+            if not np.isfinite(totals[b, wi]):
+                continue
+            text = "".join(LABELS[i] for i in tokens[b, wi, :lens[b, wi]])
+            partial = text.rsplit(" ", 1)[-1]
+            final = totals[b, wi] + lm_sc[b, wi]
+            if partial:
+                ctx_ids = [int(i) for i in ctxs[b, wi] if i >= 0]
+                final += (alpha * LOG10_TO_LN
+                          * lm.score_ids(ctx_ids, lm.word_id(partial))
+                          + beta)
+            scored.append((text.strip(), float(final)))
+        scored.sort(key=lambda p: -p[1])
+        out.append(scored[:n])
+    return out
