@@ -240,12 +240,21 @@ class DeviceLM:
         return cls.from_ngrams(ArpaLM.from_file(path)._ngrams)
 
     def arrays(self) -> DeviceLMArrays:
-        return DeviceLMArrays(
-            keys1=self.keys1, keys2=self.keys2,
-            probs=self.probs, backoffs=self.backoffs,
-            edge_keys=self.edge_keys, edge_child=self.edge_child,
-            node_word=self.node_word,
-            unk_id=np.asarray(self.unk_id, np.int32))
+        """Device-resident view, uploaded once and cached — passing numpy
+        here would re-upload the (possibly 100MB+) tables on every
+        fused_beam_advance call."""
+        cached = getattr(self, "_device_arrays", None)
+        if cached is None:
+            import jax
+
+            cached = DeviceLMArrays(*jax.device_put(tuple(DeviceLMArrays(
+                keys1=self.keys1, keys2=self.keys2,
+                probs=self.probs, backoffs=self.backoffs,
+                edge_keys=self.edge_keys, edge_child=self.edge_child,
+                node_word=self.node_word,
+                unk_id=np.asarray(self.unk_id, np.int32)))))
+            object.__setattr__(self, "_device_arrays", cached)
+        return cached
 
     # -- host twins (for tests and trailing-word scoring) -------------------
 
