@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from tone_tpu.config import BLANK_ID, LABELS
-from tone_tpu.decoding.beam import ctc_beam_search
+from tone_tpu.decoding.beam import StreamingBeamSearch, ctc_beam_search
 from tone_tpu.decoding.device_lm import DeviceLM
 from tone_tpu.decoding.lm import ArpaLM
 from tone_tpu.ops.beam_decode import (
@@ -147,3 +147,39 @@ def test_lm_steers_pruning_over_acoustics(lm_pair):
     st = fused_beam_advance(st, lp[None], dev.arrays(), alpha=1.2)
     got = fused_beam_nbest(st, dev, 1, alpha=1.2)[0][0][0]
     assert got == want == favored
+
+
+def test_oov_context_matches_host(lm_pair):
+    """A decoded OOV word in the context must behave like the host search:
+    the literal unknown stays in context (all lookups and backoff probes
+    on it miss) — substituting <unk> would wrongly add <unk>'s backoff
+    (regression: device scores were off by alpha*ln10*backoff after any
+    OOV completion)."""
+    arpa, dev, words = lm_pair
+    for w in words[:10] + ["oov"]:
+        assert dev.score(("zzzoov",), w) == \
+            pytest.approx(arpa.score(("zzzoov",), w), abs=1e-4)
+
+    # end-to-end: frames spelling an OOV word, a space, then a real word
+    rng = np.random.default_rng(11)
+    w_real = words[0]
+    text = "щщ " + w_real  # 'щщ' is (almost surely) not in the tiny vocab
+    assert ("щщ",) not in arpa._ngrams[0]
+    frames = np.full((2 * len(text) + 1, V), -14.0, np.float32)
+    for i, ch in enumerate(text):
+        frames[2 * i, LABELS.index(ch)] = np.log(0.7)
+        frames[2 * i + 1, BLANK_ID] = np.log(0.9)
+    frames[-1, LABELS.index(" ")] = np.log(0.9)
+    x = frames - frames.max(-1, keepdims=True)
+    lp = (x - np.log(np.exp(x).sum(-1, keepdims=True))).astype(np.float32)
+
+    host = StreamingBeamSearch(LABELS, arpa, beam_width=12)
+    host.advance(lp.astype(np.float64))
+    best = max(host._beams.values(), key=lambda b: b.total())
+
+    st = init_fused_beam_state(1, 12, dev)
+    st = fused_beam_advance(st, lp[None], dev.arrays())
+    hyps = fused_beam_nbest(st, dev, 1)[0]
+    assert hyps[0][0] == (best.text + best.partial).strip()
+    assert np.asarray(st.scores)[0].max() == pytest.approx(best.total(),
+                                                           abs=1e-3)

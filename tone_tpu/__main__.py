@@ -66,9 +66,14 @@ def _build_pipeline(args):
     elif args.decoder == "device-beam":
         from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
 
+        if args.fused_lm and not args.lm:
+            raise SystemExit("--fused-lm requires --lm (an ARPA or KenLM "
+                             "trie-family LM to fuse)")
         decoder = (DeviceBeamSearchCTCDecoder.from_local(
                        args.lm, fusion=args.fused_lm) if args.lm
                    else DeviceBeamSearchCTCDecoder())
+    elif args.fused_lm:
+        raise SystemExit("--fused-lm only applies to --decoder device-beam")
     else:
         decoder = GreedyCTCDecoder()
     return StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)

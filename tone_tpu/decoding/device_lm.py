@@ -53,6 +53,11 @@ class DeviceLMArrays(NamedTuple):
     edge_child: "np.ndarray" # (SE,) i32
     node_word: "np.ndarray"
     unk_id: "np.ndarray"     # () int32
+    # context id for out-of-vocabulary completed words: hashes to nothing,
+    # reproducing the host search's behavior of keeping the literal OOV
+    # string in context (every lookup and backoff probe on it misses) —
+    # substituting <unk> would wrongly pick up <unk>'s backoff/grams.
+    oov_ctx_id: "np.ndarray"  # () int32 == n_words
 
 _M1 = np.uint32(1000003)
 _M2 = np.uint32(2654435761)
@@ -215,29 +220,25 @@ class DeviceLM:
     @classmethod
     def from_file(cls, path) -> "DeviceLM":
         """Build from an LM artifact: ARPA text (optionally .gz) or a KenLM
-        trie-family binary.  Probing binaries store only hashed keys (the
-        stored grams cannot be enumerated), so they work with host fusion
-        and n-best rescoring but not device fusion — rebuild as trie
-        (``build_binary trie``) or ARPA to fuse on device."""
-        from pathlib import Path
+        trie-family binary, using load_lm's single format dispatch.
+        Probing binaries store only hashed keys (the stored grams cannot be
+        enumerated), so they work with host fusion and n-best rescoring but
+        not device fusion — rebuild as trie (``build_binary trie``) or ARPA
+        to fuse on device."""
+        from tone_tpu.decoding.lm import ArpaLM, load_lm
 
-        path = Path(path)
-        head = open(path, "rb").read(9) if path.suffix != ".gz" else b""
-        if head.startswith(b"mmap lm "):
-            from tone_tpu.decoding.kenlm_binary import kenlm_model_type
+        lm = load_lm(path)
+        if isinstance(lm, ArpaLM):
+            return cls.from_ngrams(lm._ngrams)
+        from tone_tpu.decoding.kenlm_trie import KenLMTrie, trie_to_ngrams
 
-            if kenlm_model_type(path) not in (2, 3, 4, 5):
-                raise ValueError(
-                    f"{path}: probing-format KenLM binaries cannot be "
-                    "enumerated into device-LM tables; rebuild as trie "
-                    "(`build_binary trie`) or ARPA, or use n-best "
-                    "rescoring (DeviceBeamSearchCTCDecoder without fusion)")
-            from tone_tpu.decoding.kenlm_trie import KenLMTrie, trie_to_ngrams
-
-            return cls.from_ngrams(trie_to_ngrams(KenLMTrie(path)))
-        from tone_tpu.decoding.lm import ArpaLM
-
-        return cls.from_ngrams(ArpaLM.from_file(path)._ngrams)
+        if isinstance(lm, KenLMTrie):
+            return cls.from_ngrams(trie_to_ngrams(lm))
+        raise ValueError(
+            f"{path}: probing-format KenLM binaries cannot be enumerated "
+            "into device-LM tables; rebuild as trie (`build_binary trie`) "
+            "or ARPA, or use n-best rescoring "
+            "(DeviceBeamSearchCTCDecoder without fusion)")
 
     def arrays(self) -> DeviceLMArrays:
         """Device-resident view, uploaded once and cached — passing numpy
@@ -252,7 +253,8 @@ class DeviceLM:
                 probs=self.probs, backoffs=self.backoffs,
                 edge_keys=self.edge_keys, edge_child=self.edge_child,
                 node_word=self.node_word,
-                unk_id=np.asarray(self.unk_id, np.int32)))))
+                unk_id=np.asarray(self.unk_id, np.int32),
+                oov_ctx_id=np.asarray(self.n_words, np.int32)))))
             object.__setattr__(self, "_device_arrays", cached)
         return cached
 
@@ -294,10 +296,21 @@ class DeviceLM:
             return i
         return self.unk_id
 
+    def ctx_id(self, word: str) -> int:
+        """Context id of a word: its vocab id, or the OOV sentinel (which
+        misses every table probe — matching ArpaLM, which keeps the
+        literal unknown string in context rather than substituting <unk>)."""
+        import bisect
+
+        i = bisect.bisect_left(self.words, word)
+        if i < len(self.words) and self.words[i] == word:
+            return i
+        return self.n_words
+
     def score(self, context, word: str) -> float:
         """String-level scorer (LanguageModel-compatible), host-side."""
-        wid = self.word_id(word)
-        return self.score_ids([self.word_id(w) for w in context], wid)
+        return self.score_ids([self.ctx_id(w) for w in context],
+                              self.word_id(word))
 
     def begin_context(self) -> tuple[str, ...]:
         return ("<s>",)

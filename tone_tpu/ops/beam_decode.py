@@ -215,19 +215,13 @@ def _frame_step(carry, xs, *, token_min_logp):
     return carry, (out_parent, out_e)
 
 
-def _advance(state: BeamState, logprobs, active, token_min_logp) -> BeamState:
-    b_sz, t_max, _ = logprobs.shape
-    w = state.p_b.shape[1]
-    l_max = state.tokens.shape[-1]
+def _backtrack_and_splice(tokens0, lens0, parents, emits):
+    """Recover each surviving beam's emitted tokens from the per-frame
+    backpointers and splice them onto its origin beam's buffer.  Shared by
+    the LM-free and fused advances (identical semantics)."""
+    t_steps, b_sz, w = parents.shape
+    l_max = tokens0.shape[-1]
 
-    carry = (state.p_b, state.p_nb, state.h1, state.h2, state.lc)
-    step = lambda c, xs: _frame_step(c, xs, token_min_logp=token_min_logp)
-    carry, (parents, emits) = jax.lax.scan(
-        step, carry,
-        (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
-    p_b, p_nb, h1, h2, lc = carry
-
-    # --- backtrack: emitted token per frame along each beam's ancestry -----
     def back(w_cur, pe):
         parent_t, emit_t = pe
         e = jnp.take_along_axis(emit_t, w_cur, axis=1)
@@ -237,9 +231,8 @@ def _advance(state: BeamState, logprobs, active, token_min_logp) -> BeamState:
                               (b_sz, w))
     w0, es = jax.lax.scan(back, iota_w, (parents, emits), reverse=True)
 
-    # --- splice the new tokens onto the origin beams' buffers --------------
-    base = jnp.take_along_axis(state.lens, w0, axis=1)            # (B, W)
-    old = jnp.take_along_axis(state.tokens, w0[:, :, None], axis=1)
+    base = jnp.take_along_axis(lens0, w0, axis=1)
+    old = jnp.take_along_axis(tokens0, w0[:, :, None], axis=1)
     es = jnp.moveaxis(es, 0, 2)                                   # (B, W, T)
     emask = es >= 0
     offs = jnp.cumsum(emask, axis=2) - emask
@@ -248,9 +241,23 @@ def _advance(state: BeamState, logprobs, active, token_min_logp) -> BeamState:
     b_idx = jnp.arange(b_sz)[:, None, None]
     w_idx = jnp.arange(w)[None, :, None]
     tokens = old.at[b_idx, w_idx, pos].set(es.astype(jnp.int8), mode="drop")
-    lens = jnp.minimum(base + emask.sum(axis=2), l_max)
+    lens = jnp.minimum(base + emask.sum(axis=2), l_max).astype(jnp.int32)
+    return tokens, lens
 
-    return BeamState(p_b, p_nb, h1, h2, lc, tokens, lens.astype(jnp.int32))
+
+def _advance(state: BeamState, logprobs, active, token_min_logp) -> BeamState:
+    b_sz, t_max, _ = logprobs.shape
+    w = state.p_b.shape[1]
+
+    carry = (state.p_b, state.p_nb, state.h1, state.h2, state.lc)
+    step = lambda c, xs: _frame_step(c, xs, token_min_logp=token_min_logp)
+    carry, (parents, emits) = jax.lax.scan(
+        step, carry,
+        (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
+    p_b, p_nb, h1, h2, lc = carry
+    tokens, lens = _backtrack_and_splice(state.tokens, state.lens,
+                                         parents, emits)
+    return BeamState(p_b, p_nb, h1, h2, lc, tokens, lens)
 
 
 _advance_jit = jax.jit(_advance)
@@ -375,10 +382,6 @@ def top_texts(tokens, lens) -> list[str]:
 # ---------------------------------------------------------------------------
 
 LOG10_TO_LN = float(np.log(10.0))
-# plain numpy: module import must not trigger JAX backend initialization
-_LM_M1 = np.uint32(1000003)
-_LM_M2 = np.uint32(2654435761)
-_LM_PROBE = 8
 
 
 class FusedBeamState(NamedTuple):
@@ -405,21 +408,6 @@ def init_fused_beam_state(batch: int, beam_width: int, lm,
         node=jnp.zeros((batch, beam_width), jnp.int32),
         lm_sc=jnp.zeros((batch, beam_width), jnp.float32),
     )
-
-
-def _lm_mix(h1, h2, wid):
-    u = (wid + 1).astype(jnp.uint32)
-    return (h1 * _LM_M1) ^ u, (h2 * _LM_M2) + u
-
-
-def _lm_hash(ids_list):
-    """Chain hash of a static-length list of (B, W) id arrays."""
-    shape = ids_list[0].shape
-    h1 = jnp.full(shape, 0x811C9DC5, jnp.uint32)
-    h2 = jnp.full(shape, 0x85EBCA6B, jnp.uint32)
-    for wid in ids_list:
-        h1, h2 = _lm_mix(h1, h2, wid)
-    return h1, h2
 
 
 def _lm_lookup(lm, h1, h2):
@@ -458,13 +446,13 @@ def _lm_score(lm, ctx, wid):
         h1 = jnp.full(wid.shape, 0x811C9DC5, jnp.uint32)
         h2 = jnp.full(wid.shape, 0x85EBCA6B, jnp.uint32)
         for j in range(level):
-            h1, h2 = _lm_mix(h1, h2, ctx[..., k_ctx - level + j])
+            h1, h2 = _mix(h1, h2, ctx[..., k_ctx - level + j])
         suffix_h[level] = (h1, h2)
-    g0 = _lm_mix(jnp.full(wid.shape, 0x811C9DC5, jnp.uint32),
-                 jnp.full(wid.shape, 0x85EBCA6B, jnp.uint32), wid)
+    g0 = _mix(jnp.full(wid.shape, 0x811C9DC5, jnp.uint32),
+              jnp.full(wid.shape, 0x85EBCA6B, jnp.uint32), wid)
     gram_h = {0: g0}
     for level in range(1, k_ctx + 1):
-        gram_h[level] = _lm_mix(*suffix_h[level], wid)
+        gram_h[level] = _mix(*suffix_h[level], wid)
 
     q1 = jnp.stack([gram_h[L][0] for L in range(k_ctx + 1)]
                    + [suffix_h[L][0] for L in range(1, k_ctx + 1)])
@@ -557,7 +545,12 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
     # --- the one pre-prune LM computation: the space expansion's word ------
     word_event = (lc >= 0) & (lc != SPACE_ID)                # (B, W)
     wid = jnp.take(lm.node_word, jnp.clip(node, 0, None))
-    wid = jnp.where((node >= 0) & (wid >= 0), wid, lm.unk_id)
+    is_vocab = (node >= 0) & (wid >= 0)
+    wid = jnp.where(is_vocab, wid, lm.unk_id)     # scored as <unk> (host parity)
+    # the context keeps a never-matching id for OOV words: the host search
+    # carries the literal unknown string, so later lookups/backoffs on it
+    # miss — substituting <unk> would pick up <unk>'s backoff weight
+    ctx_wid = jnp.where(is_vocab, wid, lm.oov_ctx_id)
     delta = (alpha * LOG10_TO_LN) * _lm_score(lm, ctx, wid) + beta
     exp_lm = lm_sc[:, :, None] + jnp.where(
         is_space & word_event[:, :, None], delta[:, :, None], 0.0)
@@ -613,7 +606,7 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
 
     # --- post-prune LM state transitions on the W survivors ---------------
     takep = lambda a: jnp.take_along_axis(a, n_parent, axis=1)
-    shifted = (jnp.concatenate([ctx[..., 1:], wid[..., None]], axis=-1)
+    shifted = (jnp.concatenate([ctx[..., 1:], ctx_wid[..., None]], axis=-1)
                if k_ctx else ctx)
     completed = n_e == SPACE_ID        # space with a word event
     p_ctx = jnp.take_along_axis(ctx, n_parent[..., None], axis=1)
@@ -644,10 +637,6 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
 def _advance_fused(state: FusedBeamState, logprobs, active, lm,
                    alpha, beta, token_min_logp) -> FusedBeamState:
     base = state.base
-    b_sz = base.p_b.shape[0]
-    w = base.p_b.shape[1]
-    l_max = base.tokens.shape[-1]
-
     carry = (base.p_b, base.p_nb, base.h1, base.h2, base.lc,
              state.ctx, state.node, state.lm_sc)
     step = lambda c, xs: _fused_frame_step(
@@ -656,31 +645,10 @@ def _advance_fused(state: FusedBeamState, logprobs, active, lm,
         step, carry,
         (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
     p_b, p_nb, h1, h2, lc, ctx, node, lm_sc = carry
-
-    def back(w_cur, pe):
-        parent_t, emit_t = pe
-        e = jnp.take_along_axis(emit_t, w_cur, axis=1)
-        return jnp.take_along_axis(parent_t, w_cur, axis=1), e
-
-    iota_w = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
-                              (b_sz, w))
-    w0, es = jax.lax.scan(back, iota_w, (parents, emits), reverse=True)
-
-    base_lens = jnp.take_along_axis(base.lens, w0, axis=1)
-    old = jnp.take_along_axis(base.tokens, w0[:, :, None], axis=1)
-    es = jnp.moveaxis(es, 0, 2)
-    emask = es >= 0
-    offs = jnp.cumsum(emask, axis=2) - emask
-    pos = base_lens[:, :, None] + offs
-    pos = jnp.where(emask & (pos < l_max), pos, l_max)
-    b_idx = jnp.arange(b_sz)[:, None, None]
-    w_idx = jnp.arange(w)[None, :, None]
-    tokens = old.at[b_idx, w_idx, pos].set(es.astype(jnp.int8), mode="drop")
-    lens = jnp.minimum(base_lens + emask.sum(axis=2), l_max)
-
+    tokens, lens = _backtrack_and_splice(base.tokens, base.lens,
+                                         parents, emits)
     return FusedBeamState(
-        base=BeamState(p_b, p_nb, h1, h2, lc, tokens,
-                       lens.astype(jnp.int32)),
+        base=BeamState(p_b, p_nb, h1, h2, lc, tokens, lens),
         ctx=ctx, node=node, lm_sc=lm_sc)
 
 
@@ -740,6 +708,7 @@ def fused_beam_nbest(
                           * lm.score_ids(ctx_ids, lm.word_id(partial))
                           + beta)
             scored.append((text.strip(), float(final)))
-        scored.sort(key=lambda p: -p[1])
+        # host final_key parity: score desc, then text asc on exact ties
+        scored.sort(key=lambda p: (-p[1], p[0]))
         out.append(scored[:n])
     return out
