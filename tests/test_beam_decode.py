@@ -24,6 +24,7 @@ def _peaked_logprobs(rng, t, scale=3.0):
     return (x - np.log(np.exp(x).sum(-1, keepdims=True))).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_matches_host_beam_search_random():
     rng = np.random.default_rng(0)
     batch = [_peaked_logprobs(rng, int(rng.integers(8, 48))) for _ in range(24)]
@@ -117,6 +118,7 @@ def test_token_buffer_overflow_truncates():
     assert hyps[0][0] == full[:5].strip()
 
 
+@pytest.mark.slow
 def test_carried_arena_matches_host_streaming_with_resets():
     """Device beam state as a serving arena: per-tick advance with per-slot
     activity masks and phrase-boundary resets must match one host
@@ -147,6 +149,7 @@ def test_carried_arena_matches_host_streaming_with_resets():
         assert got == want
 
 
+@pytest.mark.slow
 def test_matches_host_with_leading_silence():
     """Leading space/blank-heavy frames create the one legal 'twin' pair —
     the empty beam and the leading-space beam share the empty text — whose

@@ -69,6 +69,7 @@ def test_device_lm_scores_match_arpa(lm_pair):
         assert dev.score(ctx, w) == pytest.approx(arpa.score(ctx, w), abs=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_matches_host_fusion(lm_pair):
     """Exact transcript parity with the host shallow-fusion search,
     including leading-silence twin cases and trailing-partial ranking."""
@@ -116,6 +117,7 @@ def test_fused_chunk_split_invariance(lm_pair):
     assert fused_beam_nbest(whole, dev, 3) == fused_beam_nbest(split, dev, 3)
 
 
+@pytest.mark.slow
 def test_lm_steers_pruning_over_acoustics(lm_pair):
     """Craft a case where the LM must flip the acoustically-best word —
     the fusion actually steers the search, and matches the host."""
@@ -149,6 +151,7 @@ def test_lm_steers_pruning_over_acoustics(lm_pair):
     assert got == want == favored
 
 
+@pytest.mark.slow
 def test_oov_context_matches_host(lm_pair):
     """A decoded OOV word in the context must behave like the host search:
     the literal unknown stays in context (all lookups and backoff probes
