@@ -5,7 +5,7 @@ test:
 	python -m pytest tests/ -q
 
 # Inner loop: heavy compiles / e2e / golden-parity tests are marked `slow`.
-# Measured ~1:40 on the dev host (83 tests).
+# Measured ~3 min on the dev host (143 tests).
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
