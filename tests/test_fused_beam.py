@@ -11,7 +11,11 @@ import pytest
 
 from tone_tpu.config import BLANK_ID, LABELS
 from tone_tpu.decoding.beam import StreamingBeamSearch, ctc_beam_search
-from tone_tpu.decoding.device_lm import DeviceLM
+from tone_tpu.decoding.device_lm import (
+    DeviceLM,
+    DeviceProbingLM,
+    load_device_lm,
+)
 from tone_tpu.decoding.lm import ArpaLM
 from tone_tpu.ops.beam_decode import (
     fused_beam_advance,
@@ -186,3 +190,98 @@ def test_oov_context_matches_host(lm_pair):
     assert hyps[0][0] == (best.text + best.partial).strip()
     assert np.asarray(st.scores)[0].max() == pytest.approx(best.total(),
                                                            abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Probing-format KenLM binaries fused via the binary's own hash tables
+# (DeviceProbingLM + the on-device 64-bit chain-hash emulation) — the
+# reference's published kenlm.bin format (tone/decoder.py:84-95).
+# ---------------------------------------------------------------------------
+
+
+def test_combine64_matches_host():
+    """The uint32-limb emulation of KenLM's CombineWordHash is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from tone_tpu.decoding.kenlm_binary import combine_word_hash
+    from tone_tpu.ops.beam_decode import _combine64
+
+    rng = random.Random(0)
+    hi = np.array([rng.getrandbits(32) for _ in range(512)], np.uint32)
+    lo = np.array([rng.getrandbits(32) for _ in range(512)], np.uint32)
+    wid = np.array([rng.randrange(0, 2**31 - 2) for _ in range(512)],
+                   np.int32)
+    dhi, dlo = jax.jit(_combine64)(jnp.asarray(hi), jnp.asarray(lo),
+                                   jnp.asarray(wid))
+    dhi, dlo = np.asarray(dhi), np.asarray(dlo)
+    for i in range(512):
+        want = combine_word_hash((int(hi[i]) << 32) | int(lo[i]),
+                                 int(wid[i]))
+        assert ((int(dhi[i]) << 32) | int(dlo[i])) == want
+
+
+@pytest.fixture(scope="module", params=[0, 1],
+                ids=["probing", "rest_probing"])
+def probing_pair(request, tmp_path_factory):
+    """(KenLMBinary host scorer, DeviceProbingLM, words) over the same
+    corpus as lm_pair, written through the first-party binary writer."""
+    from tone_tpu.decoding.kenlm_binary import KenLMBinary, write_kenlm_binary
+
+    ngrams, words = _corpus_lm()
+    path = tmp_path_factory.mktemp("lm") / "probe.bin"
+    write_kenlm_binary(ngrams, path, model_type=request.param)
+    dev = load_device_lm(path)
+    assert isinstance(dev, DeviceProbingLM)
+    return KenLMBinary(path), dev, words
+
+
+def test_probing_host_twin_scores(probing_pair):
+    """DeviceProbingLM's host-side scorer is exactly the binary's, OOV
+    included (KenLM semantics: OOV maps to <unk>, id 0)."""
+    host, dev, words = probing_pair
+    rng = random.Random(1)
+    for _ in range(500):
+        ctx = tuple(rng.choice(words + ["oov"]) for _ in range(rng.randint(0, 4)))
+        w = rng.choice(words + ["zzz-oov"])
+        assert dev.score(ctx, w) == host.score(ctx, w)
+
+
+def test_probing_fused_matches_host_fusion(probing_pair):
+    """Exact transcript parity: device fusion probing the binary's own
+    hash tables vs the host beam search scoring through KenLMBinary.  All
+    trials share one padded shape so the fused program compiles once."""
+    host, dev, _ = probing_pair
+    arrs = dev.arrays()
+    rng = np.random.default_rng(7)
+    t_pad = 40
+    for trial in range(10):
+        t = int(rng.integers(10, t_pad + 1))
+        lp = _peaked(rng, t, lead_silence=(trial % 3 == 0))
+        want = ctc_beam_search(lp.astype(np.float64), LABELS, host,
+                               beam_width=12)
+        st = init_fused_beam_state(1, 12, dev)
+        padded = np.zeros((1, t_pad, V), np.float32)
+        padded[0, :t] = lp
+        st = fused_beam_advance(st, padded, arrs, np.array([t]))
+        assert fused_beam_nbest(st, dev, 1)[0][0][0] == want
+
+
+def test_probing_from_local_fusion(tmp_path):
+    """The flagship path: DeviceBeamSearchCTCDecoder.from_local on a
+    probing ``kenlm.bin`` with fusion=True decodes like the host
+    beam-search decoder over the same binary."""
+    from tone_tpu.decoder import BeamSearchCTCDecoder, DeviceBeamSearchCTCDecoder
+    from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
+
+    ngrams, _ = _corpus_lm()
+    path = tmp_path / "kenlm.bin"
+    write_kenlm_binary(ngrams, path)
+    fused = DeviceBeamSearchCTCDecoder.from_local(path, fusion=True,
+                                                  beam_width=12)
+    assert fused.fusion
+    host = BeamSearchCTCDecoder.from_local(path)
+    host.beam_width = 12
+    rng = np.random.default_rng(5)
+    lp = _peaked(rng, 24)
+    assert fused.forward(lp) == host.forward(lp)

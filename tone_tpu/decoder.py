@@ -225,15 +225,15 @@ class DeviceBeamSearchCTCDecoder:
         self.max_len = max_len
         self.fusion = fusion and lm is not None
         if self.fusion:
-            from tone_tpu.decoding.device_lm import DeviceLM
+            from tone_tpu.decoding.device_lm import DeviceLM, DeviceProbingLM
 
-            if not isinstance(lm, DeviceLM):
+            if not isinstance(lm, (DeviceLM, DeviceProbingLM)):
                 ngrams = getattr(lm, "_ngrams", None)
                 if ngrams is None:
                     raise TypeError(
-                        "fusion=True needs a DeviceLM (or an LM exposing "
-                        "its n-gram tables); got "
-                        f"{type(lm).__name__} — use DeviceLM.from_file")
+                        "fusion=True needs a DeviceLM/DeviceProbingLM (or "
+                        "an LM exposing its n-gram tables); got "
+                        f"{type(lm).__name__} — use load_device_lm")
                 lm = DeviceLM.from_ngrams(ngrams)
             self._lm_arrays = lm.arrays()
         self._lm = lm
@@ -241,10 +241,13 @@ class DeviceBeamSearchCTCDecoder:
     @classmethod
     def from_local(cls, model_path: str | Path, *, fusion: bool = False,
                    **kwargs) -> "DeviceBeamSearchCTCDecoder":
+        """Any supported LM artifact loads for either mode — ARPA text or
+        all six KenLM binary formats, including the reference's published
+        probing-format ``kenlm.bin`` (tone/decoder.py:84-95)."""
         if fusion:
-            from tone_tpu.decoding.device_lm import DeviceLM
+            from tone_tpu.decoding.device_lm import load_device_lm
 
-            return cls(DeviceLM.from_file(Path(model_path)), fusion=True,
+            return cls(load_device_lm(Path(model_path)), fusion=True,
                        **kwargs)
         from tone_tpu.decoding.lm import load_lm
 

@@ -21,6 +21,18 @@ jitted program can probe with gathers:
 Built from the same ``ngrams`` tables every host LM loader produces (ARPA
 text or any of the six KenLM binary formats), so any artifact the host
 decoders accept can also be fused on device.
+
+Probing-format binaries (the reference's published ``kenlm.bin`` flavor,
+reference tone/decoder.py:84-95) store only hashed gram keys, so their
+grams cannot be enumerated into :class:`DeviceLM` tables.
+:class:`DeviceProbingLM` fuses them anyway by probing the binary's OWN
+hash tables: the 64-bit KenLM chain hash (``combine_word_hash``) is
+emulated inside the jitted search with uint32 limb arithmetic
+(tone_tpu/ops/beam_decode.py ``_combine64``), and the binary's per-order
+tables are re-bucketed — keys salted by gram length so all orders share
+one open-addressing table — into the same probe-window layout the
+DeviceLM search already uses.  Use :func:`load_device_lm` to get the
+right class for any LM artifact.
 """
 
 from __future__ import annotations
@@ -58,6 +70,32 @@ class DeviceLMArrays(NamedTuple):
     # string in context (every lookup and backoff probe on it misses) —
     # substituting <unk> would wrongly pick up <unk>'s backoff/grams.
     oov_ctx_id: "np.ndarray"  # () int32 == n_words
+
+
+class DeviceProbingLMArrays(NamedTuple):
+    """Jit-traversable view of a :class:`DeviceProbingLM`.
+
+    Same trie fields as :class:`DeviceLMArrays` (the search's trie walk is
+    shared) but the gram table holds the KenLM binary's own 64-bit chain
+    keys, salted by gram length and split into two u32 words (keys1 = low
+     32 bits — the bucket source — keys2 = high 32), and unigrams live in
+    the binary's dense-by-word-id arrays instead of the hash table.  The
+    fused search dispatches on this type to the KenLM-semantics scorer
+    (ops/beam_decode.py ``_lm_score_probing``)."""
+
+    keys1: "np.ndarray"       # (S,) u32 — low 32 of salted u64 key
+    keys2: "np.ndarray"       # (S,) u32 — high 32
+    probs: "np.ndarray"       # (S,) f32 log10 (sign-bit flag stripped)
+    backoffs: "np.ndarray"    # (S,) f32 log10 (0 for longest order)
+    uni_prob: "np.ndarray"    # (counts[0]+1,) f32, index = KenLM word id
+    uni_backoff: "np.ndarray" # (counts[0]+1,) f32
+    edge_keys: "np.ndarray"   # vocab trie, as in DeviceLMArrays
+    edge_child: "np.ndarray"
+    node_word: "np.ndarray"   # terminal KenLM word id or -1
+    unk_id: "np.ndarray"      # () int32 == 0 (KenLM fixes <unk> at id 0)
+    # KenLM maps OOV context words to <unk> (id 0) — unlike ArpaLM, which
+    # keeps the literal string; parity target here is KenLMBinary.score.
+    oov_ctx_id: "np.ndarray"  # () int32 == 0
 
 _M1 = np.uint32(1000003)
 _M2 = np.uint32(2654435761)
@@ -120,6 +158,60 @@ def _probe_table(k1, k2, payloads, min_size: int = 64):
 
 _M1_INT, _M2_INT = int(_M1), int(_M2)
 _U32 = 0xFFFFFFFF
+_U64 = (1 << 64) - 1
+
+
+def _order_salt(n: int) -> int:
+    """Per-gram-length 64-bit salt, XORed onto KenLM chain keys so grams of
+    every order share one open-addressing table without structural
+    cross-order collisions (shared by the host table build and the jitted
+    probe in ops/beam_decode.py)."""
+    from tone_tpu.decoding.kenlm_binary import murmur64a
+
+    return murmur64a(b"tone-device-lm-order", seed=n)
+
+
+def _salt_split(keys: "np.ndarray", n: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Salt u64 KenLM keys by gram length and split into (low, high) u32."""
+    salted = keys.astype(np.uint64) ^ np.uint64(_order_salt(n))
+    return ((salted & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (salted >> np.uint64(32)).astype(np.uint32))
+
+
+def _build_vocab_trie(pairs) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Character trie over the decoder's label set: ``pairs`` is an
+    iterable of (word, id).  Words with characters outside LABELS are
+    skipped (the decoder can never emit them).  Returns the probe-table
+    edge arrays + terminal word id per node (see DeviceLMArrays)."""
+    n_chars = len(LABELS)
+    children: list[dict[int, int]] = [{}]
+    node_word = [-1]
+    for w, word_id in pairs:
+        node = 0
+        ok = True
+        for ch in w:
+            c = LABELS.find(ch)
+            if c < 0:
+                ok = False  # word not producible by the decoder
+                break
+            nxt = children[node].get(c)
+            if nxt is None:
+                nxt = len(children)
+                children[node][c] = nxt
+                children.append({})
+                node_word.append(-1)
+            node = nxt
+        if ok:
+            node_word[node] = word_id
+    edges = [(node * n_chars + c, child)
+             for node, kids in enumerate(children)
+             for c, child in kids.items()]
+    ek = np.array([k for k, _ in edges] or [0], np.uint32)
+    ec = np.array([c for _, c in edges] or [-1], np.int32)
+    if edges and int(ek.max()) >= int(_SENTINEL):
+        raise ValueError("vocab trie too large for u32 edge keys")
+    edge_keys, _, (edge_child,) = _probe_table(ek, ek, (ec,))
+    return edge_keys, edge_child, np.asarray(node_word, np.int32)
 
 
 def _hash_ids(ids: "list[int] | np.ndarray") -> tuple[np.uint32, np.uint32]:
@@ -178,53 +270,24 @@ class DeviceLM:
                 i += 1
         keys1, keys2, (probs, backoffs) = _probe_table(k1, k2, (pr, bo))
 
-        # --- vocab trie over the decoder's character set -------------------
-        n_chars = len(LABELS)
-        children: list[dict[int, int]] = [{}]
-        node_word = [-1]
-        for w in words:
-            if w in ("<s>", "</s>", "<unk>"):
-                continue
-            node = 0
-            ok = True
-            for ch in w:
-                c = LABELS.find(ch)
-                if c < 0:
-                    ok = False  # word not producible by the decoder
-                    break
-                nxt = children[node].get(c)
-                if nxt is None:
-                    nxt = len(children)
-                    children[node][c] = nxt
-                    children.append({})
-                    node_word.append(-1)
-                node = nxt
-            if ok:
-                node_word[node] = wid[w]
-        edges = [(node * n_chars + c, child)
-                 for node, kids in enumerate(children)
-                 for c, child in kids.items()]
-        ek = np.array([k for k, _ in edges] or [0], np.uint32)
-        ec = np.array([c for _, c in edges] or [-1], np.int32)
-        if edges and int(ek.max()) >= int(_SENTINEL):
-            raise ValueError("vocab trie too large for u32 edge keys")
-        edge_keys, _, (edge_child,) = _probe_table(ek, ek, (ec,))
+        edge_keys, edge_child, node_word = _build_vocab_trie(
+            (w, wid[w]) for w in words if w not in ("<s>", "</s>", "<unk>"))
 
         return cls(
             order=order, unk_id=wid["<unk>"],
             bos_id=wid.get("<s>", wid["<unk>"]), n_words=len(words),
             words=words, keys1=keys1, keys2=keys2, probs=probs,
             backoffs=backoffs, edge_keys=edge_keys, edge_child=edge_child,
-            node_word=np.asarray(node_word, np.int32))
+            node_word=node_word)
 
     @classmethod
     def from_file(cls, path) -> "DeviceLM":
-        """Build from an LM artifact: ARPA text (optionally .gz) or a KenLM
-        trie-family binary, using load_lm's single format dispatch.
-        Probing binaries store only hashed keys (the stored grams cannot be
-        enumerated), so they work with host fusion and n-best rescoring but
-        not device fusion — rebuild as trie (``build_binary trie``) or ARPA
-        to fuse on device."""
+        """Build from an enumerable LM artifact: ARPA text (optionally .gz)
+        or a KenLM trie-family binary, using load_lm's single format
+        dispatch.  Probing binaries store only hashed keys (the stored
+        grams cannot be enumerated) and fuse through
+        :class:`DeviceProbingLM` instead — :func:`load_device_lm`
+        dispatches on the artifact for you."""
         from tone_tpu.decoding.lm import ArpaLM, load_lm
 
         lm = load_lm(path)
@@ -236,9 +299,8 @@ class DeviceLM:
             return cls.from_ngrams(trie_to_ngrams(lm))
         raise ValueError(
             f"{path}: probing-format KenLM binaries cannot be enumerated "
-            "into device-LM tables; rebuild as trie (`build_binary trie`) "
-            "or ARPA, or use n-best rescoring "
-            "(DeviceBeamSearchCTCDecoder without fusion)")
+            "into DeviceLM tables; load through load_device_lm (which "
+            "probes the binary's own hash tables via DeviceProbingLM)")
 
     def arrays(self) -> DeviceLMArrays:
         """Device-resident view, uploaded once and cached — passing numpy
@@ -314,3 +376,130 @@ class DeviceLM:
 
     def begin_context(self) -> tuple[str, ...]:
         return ("<s>",)
+
+
+@dataclass
+class DeviceProbingLM:
+    """Device fusion for KenLM probing binaries — the published
+    ``kenlm.bin`` format (reference tone/decoder.py:84-95, KenLM
+    ``build_binary``'s default ModelType).
+
+    Probing binaries cannot be enumerated, so instead of rebuilding tables
+    from grams this re-buckets the binary's OWN per-order hash tables
+    (parsed by tone_tpu/decoding/kenlm_binary.py) into one salted
+    open-addressing table, and the jitted search recomputes KenLM's 64-bit
+    chain key (``combine_word_hash``) from beam word ids with uint32 limb
+    arithmetic (ops/beam_decode.py ``_combine64``/``_lm_score_probing``).
+    The vocab trie comes from the binary's bundled word-strings section,
+    mapping completed beam words to KenLM word ids.
+
+    Scoring semantics (and the host twins used by fused_beam_nbest) are
+    exactly :class:`~tone_tpu.decoding.kenlm_binary.KenLMBinary`: OOV
+    words map to ``<unk>`` (id 0) both as prediction and in context.
+    """
+
+    order: int
+    unk_id: int          # always 0 in KenLM binaries
+    bos_id: int
+    binary: "object"     # KenLMBinary host twin
+    keys1: np.ndarray    # combined salted gram table (orders 2..N)
+    keys2: np.ndarray
+    probs: np.ndarray
+    backoffs: np.ndarray
+    uni_prob: np.ndarray     # dense by word id (the binary's unigram array)
+    uni_backoff: np.ndarray
+    edge_keys: np.ndarray    # vocab trie (shared search machinery)
+    edge_child: np.ndarray
+    node_word: np.ndarray
+
+    @classmethod
+    def from_file(cls, path) -> "DeviceProbingLM":
+        from tone_tpu.decoding.kenlm_binary import KenLMBinary
+
+        binary = KenLMBinary(path)
+        p = binary._p
+        if not p.words:
+            raise ValueError(
+                f"{path}: probing binary has no bundled vocabulary strings "
+                "(build_binary was run on vocab-less input); device fusion "
+                "needs them to map decoded words to ids — use host fusion "
+                "or n-best rescoring instead")
+
+        k1s, k2s, prs, bos = [], [], [], []
+        for n, (keys, probs_n, backoffs_n) in enumerate(p.middles, start=2):
+            a, b = _salt_split(keys, n)
+            k1s.append(a); k2s.append(b)
+            prs.append(probs_n); bos.append(backoffs_n)
+        if p.order > 1:
+            a, b = _salt_split(p.longest[0], p.order)
+            k1s.append(a); k2s.append(b)
+            prs.append(p.longest[1])
+            bos.append(np.zeros(len(p.longest[1]), np.float32))
+        cat = lambda xs, dt: (np.concatenate(xs) if xs
+                              else np.zeros(0, dt))
+        keys1, keys2, (probs, backoffs) = _probe_table(
+            cat(k1s, np.uint32), cat(k2s, np.uint32),
+            (cat(prs, np.float32), cat(bos, np.float32)))
+
+        # words[i] is the string for id i (id 0 = <unk>)
+        edge_keys, edge_child, node_word = _build_vocab_trie(
+            (w, i) for i, w in enumerate(p.words)
+            if w not in ("<s>", "</s>", "<unk>"))
+
+        return cls(
+            order=p.order, unk_id=0, bos_id=binary.word_id("<s>"),
+            binary=binary, keys1=keys1, keys2=keys2, probs=probs,
+            backoffs=backoffs,
+            uni_prob=np.ascontiguousarray(p.uni_prob, np.float32),
+            uni_backoff=np.ascontiguousarray(p.uni_backoff, np.float32),
+            edge_keys=edge_keys, edge_child=edge_child,
+            node_word=node_word)
+
+    def arrays(self) -> DeviceProbingLMArrays:
+        """Device-resident view, uploaded once and cached (see
+        DeviceLM.arrays)."""
+        cached = getattr(self, "_device_arrays", None)
+        if cached is None:
+            import jax
+
+            cached = DeviceProbingLMArrays(*jax.device_put(tuple(
+                DeviceProbingLMArrays(
+                    keys1=self.keys1, keys2=self.keys2,
+                    probs=self.probs, backoffs=self.backoffs,
+                    uni_prob=self.uni_prob, uni_backoff=self.uni_backoff,
+                    edge_keys=self.edge_keys, edge_child=self.edge_child,
+                    node_word=self.node_word,
+                    unk_id=np.asarray(0, np.int32),
+                    oov_ctx_id=np.asarray(0, np.int32)))))
+            object.__setattr__(self, "_device_arrays", cached)
+        return cached
+
+    # -- host twins (KenLMBinary semantics) ---------------------------------
+
+    def word_id(self, word: str) -> int:
+        return self.binary.word_id(word)
+
+    def ctx_id(self, word: str) -> int:
+        return self.binary.word_id(word)
+
+    def score_ids(self, context_ids, word_id: int) -> float:
+        return self.binary.score_ids(tuple(context_ids), word_id)
+
+    def score(self, context, word: str) -> float:
+        return self.binary.score(tuple(context), word)
+
+    def begin_context(self) -> tuple[str, ...]:
+        return ("<s>",)
+
+
+def load_device_lm(path) -> "DeviceLM | DeviceProbingLM":
+    """Device-fusable LM from any supported artifact: ARPA text
+    (optionally .gz) or any of the six KenLM binary formats — enumerable
+    formats build :class:`DeviceLM` tables, probing formats probe the
+    binary's own tables via :class:`DeviceProbingLM`."""
+    from tone_tpu.decoding.kenlm_binary import (
+        MODEL_PROBING, MODEL_REST_PROBING, kenlm_model_type)
+
+    if kenlm_model_type(path) in (MODEL_PROBING, MODEL_REST_PROBING):
+        return DeviceProbingLM.from_file(path)
+    return DeviceLM.from_file(path)

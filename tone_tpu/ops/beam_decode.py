@@ -438,7 +438,14 @@ def _lm_score(lm, ctx, wid):
     """log10 P(wid | ctx) with Katz backoff; ctx (..., K-1) int32 (-1 =
     missing), wid (...).  Twin of DeviceLM.score_ids / ArpaLM.score:
     longest context first, accumulating dropped contexts' backoffs.  All
-    (2K-1) gram/context queries go through ONE stacked lookup."""
+    (2K-1) gram/context queries go through ONE stacked lookup.
+
+    Probing-binary arrays dispatch to the KenLM-semantics scorer (the
+    table keys are the binary's own 64-bit chain hashes)."""
+    from tone_tpu.decoding.device_lm import DeviceProbingLMArrays
+
+    if isinstance(lm, DeviceProbingLMArrays):
+        return _lm_score_probing(lm, ctx, wid)
     k_ctx = ctx.shape[-1]
     # chain hash per context suffix length L (ids hashed left to right)
     suffix_h = {}
@@ -474,6 +481,111 @@ def _lm_score(lm, ctx, wid):
             backoff_sum = jnp.where(valid & found[ci] & ~done,
                                     backoff_sum + bo[ci], backoff_sum)
     return result
+
+
+# --- KenLM probing binaries: 64-bit chain-hash emulation --------------------
+# A probing ``kenlm.bin`` stores grams only as 64-bit chained hashes
+# (kenlm_binary.combine_word_hash).  JAX on TPU has no uint64, so the chain
+# is computed in two uint32 limbs; multiplier constants are static, so each
+# 64x64→low-64 multiply is one 32x32→64 (in 16-bit halves) plus two wrapping
+# 32-bit multiplies.
+
+
+def _umul32_wide(a, c32: int):
+    """a (u32 array) * c32 (python int < 2^32) → (high u32, low u32)."""
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> jnp.uint32(16)
+    b0, b1 = c32 & 0xFFFF, c32 >> 16
+    ll = a0 * jnp.uint32(b0)
+    lh = a0 * jnp.uint32(b1)
+    hl = a1 * jnp.uint32(b0)
+    hh = a1 * jnp.uint32(b1)
+    mid = (ll >> jnp.uint32(16)) + (lh & jnp.uint32(0xFFFF)) \
+        + (hl & jnp.uint32(0xFFFF))
+    lo = (ll & jnp.uint32(0xFFFF)) | ((mid & jnp.uint32(0xFFFF))
+                                      << jnp.uint32(16))
+    hi = hh + (lh >> jnp.uint32(16)) + (hl >> jnp.uint32(16)) \
+        + (mid >> jnp.uint32(16))
+    return hi, lo
+
+
+def _mul64_const(hi, lo, c: int):
+    """(hi, lo) u64 * c (python int) mod 2^64 → (hi, lo)."""
+    c_lo, c_hi = c & 0xFFFFFFFF, (c >> 32) & 0xFFFFFFFF
+    p_hi, p_lo = _umul32_wide(lo, c_lo)
+    out_hi = p_hi + lo * jnp.uint32(c_hi) + hi * jnp.uint32(c_lo)
+    return out_hi, p_lo
+
+
+_COMBINE_A = 8978948897894561157   # kenlm_binary.combine_word_hash constants
+_COMBINE_B = 17894857484156487943
+
+
+def _combine64(hi, lo, wid):
+    """KenLM CombineWordHash: ``(h * A) ^ ((1 + w) * B)`` mod 2^64, with
+    ``w`` a word id (int32; -1 chains garbage and must be masked by the
+    caller's validity flag)."""
+    ha_hi, ha_lo = _mul64_const(hi, lo, _COMBINE_A)
+    w = (wid + 1).astype(jnp.uint32)
+    wb_hi, wb_lo = _mul64_const(jnp.zeros_like(w), w, _COMBINE_B)
+    return ha_hi ^ wb_hi, ha_lo ^ wb_lo
+
+
+def _lm_score_probing(lm, ctx, wid):
+    """log10 P(wid | ctx) against a probing binary's own tables —
+    device twin of KenLMBinary.score_ids (short-to-long extension, then
+    backoff weights of context grams at least as long as the match).  All
+    ids are KenLM vocabulary ids (OOV = 0); ctx entries of -1 are missing.
+    All (2·order − 3) gram/context probes go through ONE stacked lookup."""
+    from tone_tpu.decoding.device_lm import _order_salt
+
+    k_ctx = ctx.shape[-1]
+    order = k_ctx + 1
+    prob = jnp.take(lm.uni_prob, wid)
+    if k_ctx == 0:
+        return prob
+
+    def salted(hi, lo, n):
+        s = _order_salt(n)
+        return (lo ^ jnp.uint32(s & 0xFFFFFFFF),
+                hi ^ jnp.uint32(s >> 32))
+
+    queries = []  # (k1, k2) per probe, extensions first
+    node_hi = jnp.zeros(wid.shape, jnp.uint32)
+    node_lo = wid.astype(jnp.uint32)
+    for n in range(2, order + 1):
+        node_hi, node_lo = _combine64(node_hi, node_lo,
+                                      ctx[..., k_ctx - (n - 1)])
+        queries.append(salted(node_hi, node_lo, n))
+    n_ext = len(queries)
+    b_hi = jnp.zeros(wid.shape, jnp.uint32)
+    b_lo = jnp.clip(ctx[..., k_ctx - 1], 0).astype(jnp.uint32)
+    for clen in range(2, order):
+        b_hi, b_lo = _combine64(b_hi, b_lo, ctx[..., k_ctx - clen])
+        queries.append(salted(b_hi, b_lo, clen))
+
+    q1 = jnp.stack([q[0] for q in queries])
+    q2 = jnp.stack([q[1] for q in queries])
+    found, qprob, qbo = _lm_lookup(lm, q1, q2)
+
+    matched = jnp.ones(wid.shape, jnp.int32)
+    alive = jnp.ones(wid.shape, bool)
+    for i, n in enumerate(range(2, order + 1)):
+        valid = ctx[..., k_ctx - (n - 1)] >= 0
+        hit = alive & valid & found[i]
+        prob = jnp.where(hit, qprob[i], prob)
+        matched = jnp.where(hit, n, matched)
+        alive = hit
+
+    cid1 = ctx[..., k_ctx - 1]
+    ubo = jnp.take(lm.uni_backoff, jnp.clip(cid1, 0))
+    backoff = jnp.where((cid1 >= 0) & (matched <= 1), ubo, 0.0)
+    for j, clen in enumerate(range(2, order)):
+        valid = ctx[..., k_ctx - clen] >= 0
+        qi = n_ext + j
+        backoff += jnp.where(valid & (matched <= clen) & found[qi],
+                             qbo[qi], 0.0)
+    return prob + backoff
 
 
 def _trie_child(lm, node, char):
