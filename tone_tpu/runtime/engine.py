@@ -83,7 +83,11 @@ class MultiStreamEngine:
                  decoder=None, sharding=None, decode_workers: int = 8,
                  interim_transcripts: bool = False,
                  interim_beam: bool = False,
-                 interim_device_beam: bool = False) -> None:
+                 interim_device_beam: bool = False,
+                 interim_beam_width: int = 8,
+                 interim_beam_max_len: int = 2048,
+                 idle_evict_seconds: float | None = None,
+                 force_evict_grace: float | None = None) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -102,18 +106,36 @@ class MultiStreamEngine:
         for every slot in one batched call per tick with phrase-boundary
         resets (tone_tpu/ops/beam_decode.py).  Acoustic-best partials with
         zero host decode cost; final phrases still use the configured
-        decoder (with its LM)."""
+        decoder (with its LM).
+
+        ``interim_beam_width`` / ``interim_beam_max_len`` size the device
+        interim-beam arena (wider = closer to the final decode, more HBM
+        and per-tick FLOPs; max_len bounds the longest force-split phrase).
+
+        ``idle_evict_seconds`` overrides the Triton-parity 15 s idle reap;
+        ``force_evict_grace`` overrides the 1 s quiet period below which a
+        slot is never stolen under pressure (a deviation from Triton,
+        which only ever reaps idle streams — see _evict_idle_locked)."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
+        # Final phrases decode in ONE batched device call per tick when the
+        # decoder supports it (DeviceBeamSearchCTCDecoder.forward_batch) —
+        # at arena scale the per-phrase host pool is the throughput ceiling
+        # long before the TPU is (docs/serving.md).
+        self.device_finals = hasattr(decoder, "forward_batch")
         self.interim_transcripts = (interim_transcripts or interim_beam
                                     or interim_device_beam)
         self.interim_device_beam = interim_device_beam
         self.interim_beam = (interim_beam and not interim_device_beam
                              and hasattr(decoder, "streaming"))
         self._device_beams = None       # lazy ops.beam_decode.BeamState
-        self._device_beam_width = 8
-        self._device_beam_max_len = 2048  # longest force-split phrase
+        self._device_beam_width = interim_beam_width
+        self._device_beam_max_len = interim_beam_max_len
+        if idle_evict_seconds is not None:
+            self.IDLE_EVICT_SECONDS = idle_evict_seconds
+        if force_evict_grace is not None:
+            self.FORCE_EVICT_GRACE_SECONDS = force_evict_grace
         self._interim_results: dict[int, str] = {}
         self._labels = config.labels
         self._splitter = BatchLogprobSplitter(n_slots)
@@ -245,11 +267,16 @@ class MultiStreamEngine:
         results: dict[int, list[Future]] = {}
         interims: dict[int, str] = {}
         finished: list[int] = []
+        batch_finals: list[tuple[Future, object]] = []
         blank = len(self._labels)
         with self._lock:
             for k, (sid, stream, is_last) in enumerate(ticking):
                 phrases = by_slot.get(stream.slot)
-                if phrases:
+                if phrases and self.device_finals:
+                    futs = [Future() for _ in phrases]
+                    batch_finals.extend(zip(futs, phrases))
+                    results[sid] = futs
+                elif phrases:
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p) for p in phrases]
                 if device_texts is not None:
@@ -300,6 +327,12 @@ class MultiStreamEngine:
                 self._release_locked(sid)
             self._finished_since_poll.extend(finished)
 
+        if batch_finals:
+            # One device call decodes every phrase completed this tick; the
+            # pool task only dispatches + waits, so the tick thread never
+            # blocks on the decode.
+            self._decode_pool.submit(self._decode_batch, batch_finals)
+
         if self.interim_beam:
             # Surface beam-interim texts completed since the last tick.
             with self._interim_lock:
@@ -331,6 +364,13 @@ class MultiStreamEngine:
         reset/advance/readout (otherwise the first real tick pays a
         multi-second compile mid-stream)."""
         self.arena.warmup()
+        if self.device_finals:
+            # Compile the smallest final-decode bucket; other (B, T) buckets
+            # compile lazily on first use (forward_batch pads to powers of
+            # two / ×64 so the program count stays bounded).
+            v = len(self._labels) + 1
+            dummy = np.full((64, v), -3.5, np.float32)
+            self.decoder.forward_batch([dummy])
         if self.interim_device_beam:
             from tone_tpu.ops.beam_decode import (
                 beam_advance, beam_reset, beam_top_tokens, init_beam_state)
@@ -433,17 +473,36 @@ class MultiStreamEngine:
 
         stream.beam_task = self._decode_pool.submit(work)
 
+    def _phrase_times(self, logprob_phrase) -> tuple[float, float]:
+        frame_size = 0.03
+        bias = self.config.mean_time_bias + self.config.padding / 8000
+        start = max(0.0, round(logprob_phrase.start_frame * frame_size - bias, 2))
+        end = max(start, round(logprob_phrase.end_frame * frame_size - bias, 2))
+        return start, end
+
     def _decode(self, logprob_phrase) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder
 
         decoder = self.decoder or GreedyCTCDecoder()
         text = decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
-        frame_size = 0.03
-        bias = self.config.mean_time_bias + self.config.padding / 8000
-        start = max(0.0, round(logprob_phrase.start_frame * frame_size - bias, 2))
-        end = max(start, round(logprob_phrase.end_frame * frame_size - bias, 2))
+        start, end = self._phrase_times(logprob_phrase)
         self.stats.phrases_decoded += 1
         return TextPhrase(text=text, start_time=start, end_time=end)
+
+    def _decode_batch(self, items: list[tuple[Future, object]]) -> None:
+        """Decode a tick's completed phrases in one batched device call,
+        resolving each phrase's future (device_finals path)."""
+        try:
+            texts = self.decoder.forward_batch(
+                [np.ascontiguousarray(p.logprobs) for _, p in items])
+        except BaseException as e:  # noqa: BLE001 — futures must resolve
+            for fut, _ in items:
+                fut.set_exception(e)
+            return
+        for (fut, phrase), text in zip(items, texts):
+            start, end = self._phrase_times(phrase)
+            self.stats.phrases_decoded += 1
+            fut.set_result(TextPhrase(text=text, start_time=start, end_time=end))
 
     # -- eviction ----------------------------------------------------------
 

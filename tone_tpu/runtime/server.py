@@ -244,7 +244,18 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--metrics-port", type=int, default=8002)
     parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    parser.add_argument("--decoder", choices=["greedy", "beam", "device-beam"],
+                        default="greedy",
+                        help="final-phrase decoder: greedy, host beam search "
+                             "(C++ pool), or the batched on-TPU beam search "
+                             "(one device call per tick for all completed "
+                             "phrases)")
+    parser.add_argument("--beam-width", type=int, default=None,
+                        help="beam width override (default: 200 host / 32 device)")
+    parser.add_argument("--fused-lm", action="store_true",
+                        help="with --decoder device-beam: fuse the LM into "
+                             "the device search (full shallow fusion) instead "
+                             "of host n-best rescoring")
     parser.add_argument("--interim", action="store_true",
                         help="stream partial (in-progress phrase) transcripts "
                              "as {'event': 'interim'} messages")
@@ -256,7 +267,17 @@ def main() -> None:
                         help="carried beam search for interim transcripts "
                              "runs on the TPU (one batched call per tick, "
                              "zero host decode cost; implies --interim)")
-    parser.add_argument("--lm", type=Path, default=None, help="ARPA LM for beam search")
+    parser.add_argument("--lm", type=Path, default=None,
+                        help="LM for beam search: ARPA text or any KenLM binary")
+    parser.add_argument("--interim-beam-width", type=int, default=8,
+                        help="device interim-beam width (with --interim-device-beam)")
+    parser.add_argument("--interim-beam-max-len", type=int, default=2048,
+                        help="device interim-beam max phrase frames")
+    parser.add_argument("--idle-evict-seconds", type=float, default=None,
+                        help="idle stream reap timeout (default 15 s, Triton parity)")
+    parser.add_argument("--force-evict-grace", type=float, default=None,
+                        help="min quiet seconds before a slot can be stolen under "
+                             "pressure (default 1 s; Triton itself never steals)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -280,12 +301,25 @@ def main() -> None:
 
         decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
                    else BeamSearchCTCDecoder())
+        if args.beam_width:
+            decoder.beam_width = args.beam_width
+    elif args.decoder == "device-beam":
+        from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+        kwargs = {"beam_width": args.beam_width} if args.beam_width else {}
+        decoder = (DeviceBeamSearchCTCDecoder.from_local(
+                       args.lm, fusion=args.fused_lm, **kwargs) if args.lm
+                   else DeviceBeamSearchCTCDecoder(**kwargs))
 
     engine = MultiStreamEngine(variables, config, n_slots=args.slots,
                                decoder=decoder,
                                interim_transcripts=args.interim,
                                interim_beam=args.interim_beam,
-                               interim_device_beam=args.interim_device_beam)
+                               interim_device_beam=args.interim_device_beam,
+                               interim_beam_width=args.interim_beam_width,
+                               interim_beam_max_len=args.interim_beam_max_len,
+                               idle_evict_seconds=args.idle_evict_seconds,
+                               force_evict_grace=args.force_evict_grace)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
