@@ -20,6 +20,56 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def splitter_worst_case(slots: int, phrase_ticks: int) -> None:
+    """Worst-case host tick for the batched splitter: EVERY slot closes a
+    phrase on the same tick (synchronized utterance ends — what fixed-length
+    load-test clients produce).  No device in the loop: this isolates the
+    `machinery` branch of BatchLogprobSplitter.forward_batch.
+    """
+    from tone_tpu.splitter import BatchLogprobSplitter, StreamingLogprobSplitter
+
+    split = BatchLogprobSplitter(slots)
+    v = 35
+    frames = 10  # per tick (300 ms)
+    speech = np.full((frames, v), -8.0, np.float32)
+    speech[:, 3] = -0.05          # confident character -> is_speech
+    speech[:, -2:] = -12.0
+    silence = np.full((frames, v), -8.0, np.float32)
+    silence[:, -2:] = -0.7        # blank+space mass (p=0.99) -> silence
+    slot_ids = np.arange(slots, dtype=np.int64)
+    lasts = np.zeros(slots, bool)
+
+    def tick(frame_block):
+        batch = np.broadcast_to(frame_block, (slots, frames, v)).copy()
+        t0 = time.monotonic()
+        out = split.forward_batch(batch, slot_ids, lasts)
+        return time.monotonic() - t0, out
+
+    steady, boundary, n_phrases = [], None, 0
+    # grow a phrase in every slot, then silence until every slot closes
+    for _ in range(phrase_ticks):
+        dt, _ = tick(speech)
+        steady.append(dt)
+    need = StreamingLogprobSplitter.MIN_SILENCE_DURATION // frames + 2
+    for _ in range(need):
+        dt, out = tick(silence)
+        if out:
+            boundary = dt
+            n_phrases = sum(len(v) for v in out.values())
+            break
+        steady.append(dt)
+    assert boundary is not None, "no phrases closed — bench setup broken"
+    report = {
+        "slots": slots,
+        "phrase_frames": phrase_ticks * frames,
+        "steady_ms_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
+        "boundary_tick_ms": round(boundary * 1e3, 2),
+        "phrases_closed": n_phrases,
+        "budget_ms": 300.0,
+    }
+    print(json.dumps(report))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--slots", type=int, default=1024)
@@ -27,7 +77,17 @@ def main() -> None:
     parser.add_argument("--speech-frac", type=float, default=0.3,
                         help="fraction of streams in active speech per tick")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--splitter-worst", action="store_true",
+                        help="device-free worst case: all slots close a "
+                             "phrase on the same tick")
+    parser.add_argument("--phrase-ticks", type=int, default=40,
+                        help="phrase length in ticks before the "
+                             "synchronized close (with --splitter-worst)")
     args = parser.parse_args()
+
+    if args.splitter_worst:
+        splitter_worst_case(args.slots, args.phrase_ticks)
+        return
 
     import jax
 

@@ -143,3 +143,47 @@ def test_arena_ticks_on_sharded_mesh(tiny_variables):
     # state actually lives sharded on the mesh
     leaf = jax.tree_util.tree_leaves(arena.state)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_tp_loss_equals_single_device(tiny_variables):
+    """The TP correctness oracle VERDICT-r2 asked for: the same batch on a
+    tp=2 mesh and a tp=1 mesh must produce the same loss (Megatron-style
+    splits are a pure layout change; XLA collectives must reconstruct the
+    exact math)."""
+    from tone_tpu.training import DataCollatorCTCWithPadding, Trainer, TrainerConfig
+
+    cfg, variables = tiny_variables
+    rng = np.random.default_rng(0)
+    features = [
+        {"input_values": rng.normal(0, 0.1, 2400 + 160 * i).astype(np.float32),
+         "labels": "да нет да"}
+        for i in range(4)
+    ]
+    batch = DataCollatorCTCWithPadding()(features)
+
+    losses = {}
+    for n_data, n_model in ((2, 1), (1, 2), (2, 2)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        trainer = Trainer(cfg, TrainerConfig(total_steps=4), mesh=mesh)
+        state = trainer.create_state(jax.tree.map(np.copy, variables))
+        state, loss = trainer.train_step(state, batch)
+        _, loss2 = trainer.train_step(state, batch)
+        losses[(n_data, n_model)] = (float(loss), float(loss2))
+
+    base = losses[(2, 1)]
+    assert np.isfinite(base).all()
+    for key, pair in losses.items():
+        np.testing.assert_allclose(pair, base, rtol=2e-5, err_msg=str(key))
+    # second step differs from the first (the optimizer actually stepped)
+    assert abs(base[1] - base[0]) > 1e-7
+
+
+@pytest.mark.slow
+def test_full_config_multichip():
+    """The production 71M config compiles AND executes dp x tp training +
+    stream-sharded serving on the 8-device mesh (VERDICT-r2 #3: topology
+    was previously proven only on a reduced 8-layer model).  Several
+    minutes of XLA:CPU SPMD compile — slow tier."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8, full=True)

@@ -128,3 +128,67 @@ def test_metrics_endpoints():
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_evaluate_server_end_to_end(tmp_path):
+    """evaluate_server (the client_wer.py-equivalent WER gate) against an
+    in-process server: manifest -> websocket -> WER plumbing.  Random
+    weights, so this asserts the pipeline, not quality."""
+    import threading
+    import wave
+
+    from tone_tpu.eval import evaluate_server
+
+    cfg = ToneConfig(compute_dtype="float32")
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    manifest = tmp_path / "manifest.jsonl"
+    with open(manifest, "w", encoding="utf-8") as f:
+        for i, text in enumerate(["да нет", "алло привет"]):
+            wav = tmp_path / f"utt{i}.wav"
+            audio = rng.integers(-20000, 20000, 2400 * (4 + i)).astype("<i2")
+            with wave.open(str(wav), "wb") as w:
+                w.setnchannels(1), w.setsampwidth(2), w.setframerate(8000)
+                w.writeframes(audio.tobytes())
+            f.write(json.dumps({"audio_filepath": str(wav), "text": text},
+                               ensure_ascii=False) + "\n")
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=4)
+    engine.arena.warmup()
+    server = TranscriptionServer(engine, tick_seconds=0.02)
+    started = threading.Event()
+    box = {}
+
+    def serve_thread():
+        async def main():
+            tick = asyncio.create_task(server.tick_loop())
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as s:
+                box["port"] = s.sockets[0].getsockname()[1]
+                box["loop"] = asyncio.get_running_loop()
+                started.set()
+                try:
+                    await asyncio.Future()
+                except asyncio.CancelledError:
+                    pass
+                finally:
+                    tick.cancel()
+
+        asyncio.run(main())
+
+    t = threading.Thread(target=serve_thread, daemon=True)
+    t.start()
+    assert started.wait(timeout=30)
+    try:
+        result = evaluate_server(
+            f"ws://127.0.0.1:{box['port']}/api/ws", manifest, concurrency=2)
+    finally:
+        box["loop"].call_soon_threadsafe(
+            lambda: [task.cancel() for task in asyncio.all_tasks(box["loop"])])
+        t.join(timeout=10)
+        engine.shutdown()
+    assert result.n_utterances == 2
+    assert result.audio_seconds == pytest.approx((2400 * 4 + 2400 * 5) / 8000)
+    assert np.isfinite(result.wer) and result.wer >= 0.0
+    assert result.rtfx > 0

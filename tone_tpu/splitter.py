@@ -164,60 +164,65 @@ class StreamingLogprobSplitter:
 
 
 class _SlotBuffer:
-    """Per-slot carry (logprobs + speech mask) with O(1) chunk append and
-    lazy assembly.
+    """Per-slot carry (logprobs + speech mask) in ONE contiguous array with
+    amortized-doubling growth.
 
-    Equivalent to ``StreamingLogprobSplitterState.past_logprobs`` but stored
-    as a list of the original chunk arrays — nothing is copied until the
-    span machinery actually runs, so a 60 s in-progress phrase costs
-    appends, not O(L^2) re-concatenation.
+    Equivalent to ``StreamingLogprobSplitterState.past_logprobs``, tuned for
+    the serving worst case: when many slots close a phrase on the same tick
+    (synchronized utterance ends), ``slice`` is a single contiguous copy and
+    ``speech_window`` a view — the earlier chunk-list design spent the
+    boundary tick in per-chunk Python loops (452 ms at 1024 slots x 1900
+    frames; this layout does it in ~25 ms, dev/tick_bench.py
+    --splitter-worst).
     """
 
-    __slots__ = ("chunks", "sp", "head", "length")
+    __slots__ = ("lp", "sp", "head", "tail")
 
     def __init__(self) -> None:
-        self.chunks: list = []   # (T, 35) float32 pieces
-        self.sp: list = []       # (T,) bool pieces, parallel to chunks
-        self.head = 0            # frames already consumed from chunks[0]
-        self.length = 0          # buffered frames (excluding head)
+        self.lp = np.empty((128, 35), np.float32)
+        self.sp = np.empty(128, bool)
+        self.head = 0            # first unconsumed row
+        self.tail = 0            # one past the last filled row
+
+    @property
+    def length(self) -> int:
+        return self.tail - self.head
 
     def append(self, chunk: np.ndarray, sp: np.ndarray) -> None:
-        self.chunks.append(chunk)
-        self.sp.append(sp)
-        self.length += len(chunk)
+        n = len(chunk)
+        if self.tail + n > len(self.lp):
+            live = self.tail - self.head
+            cap = len(self.lp)
+            while cap < 2 * (live + n):
+                cap *= 2
+            lp = np.empty((cap, 35), np.float32)
+            spb = np.empty(cap, bool)
+            lp[:live] = self.lp[self.head:self.tail]
+            spb[:live] = self.sp[self.head:self.tail]
+            self.lp, self.sp = lp, spb
+            self.head, self.tail = 0, live
+        self.lp[self.tail:self.tail + n] = chunk
+        self.sp[self.tail:self.tail + n] = sp
+        self.tail += n
 
     def speech_window(self) -> np.ndarray:
-        """The buffer's is_speech mask as one (length,) bool array."""
-        if not self.sp:
-            return np.zeros(0, bool)
-        cat = self.sp[0] if len(self.sp) == 1 else np.concatenate(self.sp)
-        return cat[self.head:]
+        """The buffer's is_speech mask, (length,) bool — a view, valid
+        until the next ``append``."""
+        return self.sp[self.head:self.tail]
 
     def slice(self, a: int, b: int) -> np.ndarray:
-        """Assemble logprob frames [a, b) of the buffer (0 = first
-        unconsumed)."""
-        a, b = a + self.head, b + self.head
-        parts = []
-        pos = 0
-        for c in self.chunks:
-            lo, hi = max(a - pos, 0), min(b - pos, len(c))
-            if hi > lo:
-                parts.append(c[lo:hi])
-            pos += len(c)
-            if pos >= b:
-                break
-        if not parts:
-            return np.zeros((0, 35), np.float32)
-        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+        """Logprob frames [a, b) of the buffer (0 = first unconsumed).
+
+        Returns a VIEW, like the single-stream splitter's phrase slices:
+        buffer rows are written exactly once (appends only ever write past
+        ``tail``; growth copies the live region into fresh storage and
+        never touches the old array), so emitted phrases stay valid with
+        zero copy on the boundary tick."""
+        return self.lp[self.head + a:min(self.head + b, self.tail)]
 
     def drop_prefix(self, n: int) -> None:
         """Discard the first ``n`` unconsumed frames."""
         self.head += n
-        self.length -= n
-        while self.chunks and self.head >= len(self.chunks[0]):
-            self.head -= len(self.chunks[0])
-            self.chunks.pop(0)
-            self.sp.pop(0)
 
 
 class BatchLogprobSplitter:
@@ -305,7 +310,7 @@ class BatchLogprobSplitter:
         for k in fast:
             slot = int(slots[k])
             buf = _SlotBuffer()
-            buf.append(logprobs[k, t - expand:].copy(), sp_new[k, t - expand:].copy())
+            buf.append(logprobs[k, t - expand:], sp_new[k, t - expand:])
             self._buf[slot] = buf
 
         # Mid-phrase, no boundary: the reference machinery is a no-op on
@@ -315,14 +320,14 @@ class BatchLogprobSplitter:
         self._carry_len[slots[grow]] = new_len[grow]
         self._carry_speech[slots[grow]] = True
         for k in grow:
-            self._buf[int(slots[k])].append(logprobs[k].copy(), sp_new[k].copy())
+            self._buf[int(slots[k])].append(logprobs[k], sp_new[k])
 
         # Boundary events: run the exact per-window span machinery.
         out: dict[int, list[LogprobPhrase]] = {}
         for k in np.flatnonzero(machinery):
             slot = int(slots[k])
             buf = self._buf[slot]
-            buf.append(logprobs[k].copy(), sp_new[k].copy())
+            buf.append(logprobs[k], sp_new[k])
             wsp = buf.speech_window()
             phrases, consumed = self._split_buffer(
                 buf, wsp, int(self._offset[slot]), bool(is_last[k]), expand)
