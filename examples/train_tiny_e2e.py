@@ -55,8 +55,8 @@ def make_dataset() -> list[dict]:
     return [{"audio": synth(t), "text": t} for t in texts]
 
 
-def run(steps: int = 400, lr: float = 1e-3, seed: int = 0) -> tuple[float, int, int]:
-    """Returns (train WER, exact streaming matches, total checked)."""
+def run_training(steps: int = 400, lr: float = 1e-3, seed: int = 0):
+    """Train the tiny model; returns (config, deployable variables dict)."""
     from tone_tpu.core.model import init_model_params
     from tone_tpu.parallel.mesh import make_mesh
     from tone_tpu.training import DataCollatorCTCWithPadding, Trainer, TrainerConfig
@@ -81,6 +81,12 @@ def run(steps: int = 400, lr: float = 1e-3, seed: int = 0) -> tuple[float, int, 
         state, loss = trainer.train_step(state, batch)
         if step % 50 == 0:
             print(f"step {step}: loss {float(loss):.3f}", flush=True)
+    return cfg, trainer, state, collator, items
+
+
+def run(steps: int = 400, lr: float = 1e-3, seed: int = 0) -> tuple[float, int, int]:
+    """Returns (train WER, exact streaming matches, total checked)."""
+    cfg, trainer, state, collator, items = run_training(steps, lr, seed)
 
     eval_batch = collator([{"input_values": it["audio"], "labels": it["text"]}
                            for it in items])
