@@ -69,7 +69,7 @@ def synth_device_lm(n_grams: int, n_words: int = 300_000, order: int = 3,
             w.append(chars[x % len(chars)])
             x //= len(chars)
         words.append("".join(w))
-    edge_keys, edge_child, node_word = _build_vocab_trie(
+    edge_keys, edge_child, node_word, edge_probe = _build_vocab_trie(
         (w, i + 3) for i, w in enumerate(words))
     t_trie = time.monotonic() - t0
 
@@ -92,14 +92,15 @@ def synth_device_lm(n_grams: int, n_words: int = 300_000, order: int = 3,
     k1, k2 = k1[keep], k2[keep]
     pr = rng.uniform(-6.0, -0.5, len(k1)).astype(np.float32)
     bo = rng.uniform(-1.5, 0.0, len(k1)).astype(np.float32)
-    keys1, keys2, (probs, backoffs) = _probe_table(k1, k2, (pr, bo))
+    keys1, keys2, (probs, backoffs), probe = _probe_table(k1, k2, (pr, bo))
     t_tables = time.monotonic() - t0
 
     lm = DeviceLM(
         order=order, unk_id=0, bos_id=1, n_words=n_uni,
         words=["<unk>", "<s>", "</s>", *words],
         keys1=keys1, keys2=keys2, probs=probs, backoffs=backoffs,
-        edge_keys=edge_keys, edge_child=edge_child, node_word=node_word)
+        edge_keys=edge_keys, edge_child=edge_child, node_word=node_word,
+        probe=probe, edge_probe=edge_probe)
     return lm, len(k1), {"trie_s": round(t_trie, 1), "tables_s": round(t_tables, 1)}
 
 
@@ -111,7 +112,8 @@ def measure(lm, n_grams_actual: int, beam_width: int, batch: int) -> dict:
         fused_beam_advance, fused_beam_nbest, init_fused_beam_state)
 
     arrs = lm.arrays()
-    hbm = sum(int(np.asarray(a).nbytes) for a in arrs)
+    hbm = sum(int(np.asarray(a).nbytes)
+              for a in jax.tree_util.tree_leaves(arrs))
     v = len(LABELS) + 1
     rng = np.random.default_rng(1)
 

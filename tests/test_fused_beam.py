@@ -285,3 +285,63 @@ def test_probing_from_local_fusion(tmp_path):
     rng = np.random.default_rng(5)
     lp = _peaked(rng, 24)
     assert fused.forward(lp) == host.forward(lp)
+
+
+def test_probe_table_widens_instead_of_shrinking_load():
+    """Hash-table scaling (VERDICT-r2 weak #2): keys crowding one bucket
+    must widen the probe window (8 -> 16 -> 32...), not blow the table up
+    by doubling; and a DeviceLM built with a wider window must still score
+    exactly (host twin + device lookup share the static probe)."""
+    import numpy as np
+
+    from tone_tpu.decoding.device_lm import _SENTINEL, _probe_table
+
+    # 20 distinct keys with identical k1 -> identical bucket: cannot fit
+    # in an 8-slot window at any table size.
+    k1 = np.full(20, 12345, np.uint32)
+    k2 = np.arange(20, dtype=np.uint32)
+    pay = np.arange(20, dtype=np.float32)
+    tk1, tk2, (tp,), probe = _probe_table(k1, k2, (pay,))
+    assert probe == 32  # widened twice once load fell under the floor
+    assert len(tk1) == 128  # one doubling (load 0.31 -> 0.16), then widen
+    # every key findable within the window
+    from tone_tpu.decoding.device_lm import _bucket
+    base = int(_bucket(np.uint32(12345), len(tk1)))
+    window = [(int(tk1[(base + d) & (len(tk1) - 1)]),
+               int(tk2[(base + d) & (len(tk1) - 1)]))
+              for d in range(probe)]
+    for i in range(20):
+        assert (12345, i) in window
+
+
+def test_wide_probe_lm_scores_and_fuses(lm_pair):
+    """A DeviceLM forced to a wide probe window scores identically and the
+    fused device search still matches the host beam search exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    import tone_tpu.decoding.device_lm as dlm
+
+    arpa, _, words = lm_pair
+    # rebuild the corpus LM with a tiny max-load so the window widens
+    orig = dlm.PROBE
+    dlm.PROBE = 2  # start narrow: forces widening on real data
+    try:
+        dev = dlm.DeviceLM.from_ngrams(arpa._ngrams)
+    finally:
+        dlm.PROBE = orig
+    assert dev.probe > 2 or dev.edge_probe > 2  # something widened
+
+    rng = random.Random(5)
+    for _ in range(300):
+        ctx = tuple(rng.choice(words) for _ in range(rng.randint(0, 3)))
+        w = rng.choice(words + ["oov"])
+        assert dev.score(ctx, w) == pytest.approx(arpa.score(ctx, w), abs=1e-4)
+
+    nrng = np.random.default_rng(11)
+    lp = _peaked(nrng, 24)
+    want = ctc_beam_search(lp.astype(np.float64), LABELS, arpa, beam_width=12)
+    st = init_fused_beam_state(1, 12, dev)
+    st = fused_beam_advance(st, lp[None], dev.arrays(), np.array([lp.shape[0]]))
+    assert fused_beam_nbest(st, dev, 1)[0][0][0] == want

@@ -107,6 +107,18 @@ def main() -> None:
     p_srv.add_argument("--port", type=int, default=8080)
     p_srv.add_argument("--metrics-port", type=int, default=8002)
     p_srv.add_argument("--slots", type=int, default=256)
+    p_srv.add_argument("--interim", action="store_true",
+                       help="stream in-progress phrase partials")
+    p_srv.add_argument("--interim-beam", action="store_true",
+                       help="LM-quality partials via carried host beam search")
+    p_srv.add_argument("--interim-device-beam", action="store_true",
+                       help="carried interim beam search on the TPU")
+    p_srv.add_argument("--interim-beam-width", type=int, default=8)
+    p_srv.add_argument("--interim-beam-max-len", type=int, default=2048)
+    p_srv.add_argument("--idle-evict-seconds", type=float, default=None,
+                       help="idle stream reap timeout (default 15 s, Triton parity)")
+    p_srv.add_argument("--force-evict-grace", type=float, default=None,
+                       help="min quiet seconds before slot steal under pressure")
     _add_model_args(p_srv)
 
     p_ev = sub.add_parser("eval", help="corpus WER over a JSONL manifest")
@@ -162,7 +174,14 @@ def main() -> None:
         pipeline = _build_pipeline(args)
         engine = MultiStreamEngine(
             pipeline.model.variables, pipeline.model.config,
-            n_slots=args.slots, decoder=pipeline.decoder)
+            n_slots=args.slots, decoder=pipeline.decoder,
+            interim_transcripts=args.interim,
+            interim_beam=args.interim_beam,
+            interim_device_beam=args.interim_device_beam,
+            interim_beam_width=args.interim_beam_width,
+            interim_beam_max_len=args.interim_beam_max_len,
+            idle_evict_seconds=args.idle_evict_seconds,
+            force_evict_grace=args.force_evict_grace)
         asyncio.run(serve(engine, args.host, args.port,
                           metrics_port=args.metrics_port))
         return

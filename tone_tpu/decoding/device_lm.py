@@ -37,15 +37,35 @@ right class for any LM artifact.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import NamedTuple
+from dataclasses import dataclass, fields
 
+import jax.tree_util
 import numpy as np
 
 from tone_tpu.config import LABELS
 
 
-class DeviceLMArrays(NamedTuple):
+class _ArraysBase:
+    """Pytree base for the jit-traversable LM views: array fields are
+    pytree leaves; ``probe``/``edge_probe`` (the static per-table probe
+    window widths) travel as aux data, so the jitted lookup sees them as
+    Python ints and one program is compiled per (shapes, probe) combo."""
+
+    _STATIC = ("probe", "edge_probe")
+
+    def tree_flatten(self):
+        leaves = tuple(getattr(self, f.name) for f in fields(self)
+                       if f.name not in self._STATIC)
+        return leaves, (self.probe, self.edge_probe)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, probe=aux[0], edge_probe=aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DeviceLMArrays(_ArraysBase):
     """The jit-traversable view of a DeviceLM (passed as an argument so XLA
     caches one program per LM shape).
 
@@ -55,7 +75,11 @@ class DeviceLMArrays(NamedTuple):
     grams of different orders cannot structurally collide), bucket =
     h1 & (size-1), entries linearly probed — one contiguous-window gather
     replaces a ~20-round binary search.  The vocab trie's edges use the
-    same scheme keyed by node*n_chars+char."""
+    same scheme keyed by node*n_chars+char.  The probe window widens with
+    table size (8 → up to 64) instead of shrinking the load factor: at
+    25M grams a fixed 8-slot window forces ~5% load (8.6 GB); a 32-slot
+    window holds 37% load (1.1 GB) and the wider contiguous gather is
+    still one latency-bound load."""
 
     keys1: "np.ndarray"      # (S,) u32, open-addressed; empty = sentinel
     keys2: "np.ndarray"      # (S,) u32 verification
@@ -70,9 +94,13 @@ class DeviceLMArrays(NamedTuple):
     # string in context (every lookup and backoff probe on it misses) —
     # substituting <unk> would wrongly pick up <unk>'s backoff/grams.
     oov_ctx_id: "np.ndarray"  # () int32 == n_words
+    probe: int = 8            # static: gram-table probe window
+    edge_probe: int = 8       # static: trie-edge probe window
 
 
-class DeviceProbingLMArrays(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DeviceProbingLMArrays(_ArraysBase):
     """Jit-traversable view of a :class:`DeviceProbingLM`.
 
     Same trie fields as :class:`DeviceLMArrays` (the search's trie walk is
@@ -96,6 +124,8 @@ class DeviceProbingLMArrays(NamedTuple):
     # KenLM maps OOV context words to <unk> (id 0) — unlike ArpaLM, which
     # keeps the literal string; parity target here is KenLMBinary.score.
     oov_ctx_id: "np.ndarray"  # () int32 == 0
+    probe: int = 8            # static: gram-table probe window
+    edge_probe: int = 8       # static: trie-edge probe window
 
 _M1 = np.uint32(1000003)
 _M2 = np.uint32(2654435761)
@@ -115,17 +145,30 @@ def _bucket(k1, size: int):
         return (k1 * _FIB) >> np.uint32(shift)
 
 
+_MAX_PROBE = 64
+_MIN_LOAD = 0.25  # below this, spills widen the probe instead of doubling
+
+
 def _probe_table(k1, k2, payloads, min_size: int = 64):
     """Open-addressing table: place each entry at the first free slot in
     its probe window (vectorized round per probe distance: first entry per
-    slot wins, the rest retry at the next distance); grow and rebuild if
-    anything would spill past PROBE (load factor starts at ~0.5, so spill
-    is rare)."""
+    slot wins, the rest retry at the next distance).  On spill past the
+    window: double the table while load > ``_MIN_LOAD``, then widen the
+    probe (8 → 16 → 32 → 64).  Linear-probing clusters grow with table
+    size, so a fixed 8-slot window forces pathological load at tens of
+    millions of grams (measured at 25M entries on v5e,
+    dev/device_lm_scale.py: 4.7% load / 8.6 GB for 538× fused RTFx, vs
+    probe 32 / 37% load / 1.1 GB at 4.7× lower throughput — wide HBM
+    gathers are linear in window width once the table spills the caches).
+    The 25% floor lands 25M grams at probe 16 / 2.1 GB, the measured
+    speed/memory knee; small LMs never hit the floor and keep the legacy
+    fast layout.  Returns (keys1, keys2, payloads, probe)."""
     n = len(k1)
     if n and bool(np.any((k1 == _SENTINEL) & (k2 == _SENTINEL))):
         raise ValueError("hash equals the empty-slot sentinel "
                          "(astronomically unlikely); rebuild the LM")
     size = max(min_size, 1 << int(np.ceil(np.log2(max(n, 1) * 2))))
+    probe = PROBE
     while True:
         tk1 = np.full(size, _SENTINEL, np.uint32)
         tk2 = np.full(size, _SENTINEL, np.uint32)
@@ -133,7 +176,7 @@ def _probe_table(k1, k2, payloads, min_size: int = 64):
         occupied = np.zeros(size, bool)
         base = _bucket(k1, size).astype(np.int64)
         remaining = np.arange(n)
-        for d in range(PROBE):
+        for d in range(probe):
             if not len(remaining):
                 break
             slots = (base[remaining] + d) & (size - 1)
@@ -152,8 +195,11 @@ def _probe_table(k1, k2, payloads, min_size: int = 64):
             placed[pi] = True
             remaining = remaining[~placed[remaining]]
         if not len(remaining):
-            return tk1, tk2, tp
-        size *= 2
+            return tk1, tk2, tp, probe
+        if n / size > _MIN_LOAD or probe >= _MAX_PROBE:
+            size *= 2
+        else:
+            probe *= 2
 
 
 _M1_INT, _M2_INT = int(_M1), int(_M2)
@@ -210,8 +256,8 @@ def _build_vocab_trie(pairs) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
     ec = np.array([c for _, c in edges] or [-1], np.int32)
     if edges and int(ek.max()) >= int(_SENTINEL):
         raise ValueError("vocab trie too large for u32 edge keys")
-    edge_keys, _, (edge_child,) = _probe_table(ek, ek, (ec,))
-    return edge_keys, edge_child, np.asarray(node_word, np.int32)
+    edge_keys, _, (edge_child,), edge_probe = _probe_table(ek, ek, (ec,))
+    return edge_keys, edge_child, np.asarray(node_word, np.int32), edge_probe
 
 
 def _hash_ids(ids: "list[int] | np.ndarray") -> tuple[np.uint32, np.uint32]:
@@ -244,6 +290,8 @@ class DeviceLM:
     edge_keys: np.ndarray       # (E,) u32
     edge_child: np.ndarray      # (E,) i32
     node_word: np.ndarray       # (nodes,) i32  terminal word id or -1
+    probe: int = PROBE          # gram-table probe window (static per LM)
+    edge_probe: int = PROBE     # trie-edge probe window
 
     @classmethod
     def from_ngrams(cls, ngrams) -> "DeviceLM":
@@ -268,9 +316,9 @@ class DeviceLM:
                 pr[i] = entry[0]
                 bo[i] = entry[1] if len(entry) > 1 else 0.0
                 i += 1
-        keys1, keys2, (probs, backoffs) = _probe_table(k1, k2, (pr, bo))
+        keys1, keys2, (probs, backoffs), probe = _probe_table(k1, k2, (pr, bo))
 
-        edge_keys, edge_child, node_word = _build_vocab_trie(
+        edge_keys, edge_child, node_word, edge_probe = _build_vocab_trie(
             (w, wid[w]) for w in words if w not in ("<s>", "</s>", "<unk>"))
 
         return cls(
@@ -278,7 +326,7 @@ class DeviceLM:
             bos_id=wid.get("<s>", wid["<unk>"]), n_words=len(words),
             words=words, keys1=keys1, keys2=keys2, probs=probs,
             backoffs=backoffs, edge_keys=edge_keys, edge_child=edge_child,
-            node_word=node_word)
+            node_word=node_word, probe=probe, edge_probe=edge_probe)
 
     @classmethod
     def from_file(cls, path) -> "DeviceLM":
@@ -310,13 +358,14 @@ class DeviceLM:
         if cached is None:
             import jax
 
-            cached = DeviceLMArrays(*jax.device_put(tuple(DeviceLMArrays(
+            cached = jax.device_put(DeviceLMArrays(
                 keys1=self.keys1, keys2=self.keys2,
                 probs=self.probs, backoffs=self.backoffs,
                 edge_keys=self.edge_keys, edge_child=self.edge_child,
                 node_word=self.node_word,
                 unk_id=np.asarray(self.unk_id, np.int32),
-                oov_ctx_id=np.asarray(self.n_words, np.int32)))))
+                oov_ctx_id=np.asarray(self.n_words, np.int32),
+                probe=self.probe, edge_probe=self.edge_probe))
             object.__setattr__(self, "_device_arrays", cached)
         return cached
 
@@ -326,7 +375,7 @@ class DeviceLM:
         k1, k2 = _hash_ids(ids)
         size = len(self.keys1)
         base = int(_bucket(k1, size))
-        for d in range(PROBE):
+        for d in range(self.probe):
             j = (base + d) & (size - 1)
             if self.keys1[j] == k1 and self.keys2[j] == k2:
                 return True, float(self.probs[j]), float(self.backoffs[j])
@@ -411,6 +460,8 @@ class DeviceProbingLM:
     edge_keys: np.ndarray    # vocab trie (shared search machinery)
     edge_child: np.ndarray
     node_word: np.ndarray
+    probe: int = PROBE       # gram-table probe window (static per LM)
+    edge_probe: int = PROBE  # trie-edge probe window
 
     @classmethod
     def from_file(cls, path) -> "DeviceProbingLM":
@@ -437,12 +488,12 @@ class DeviceProbingLM:
             bos.append(np.zeros(len(p.longest[1]), np.float32))
         cat = lambda xs, dt: (np.concatenate(xs) if xs
                               else np.zeros(0, dt))
-        keys1, keys2, (probs, backoffs) = _probe_table(
+        keys1, keys2, (probs, backoffs), probe = _probe_table(
             cat(k1s, np.uint32), cat(k2s, np.uint32),
             (cat(prs, np.float32), cat(bos, np.float32)))
 
         # words[i] is the string for id i (id 0 = <unk>)
-        edge_keys, edge_child, node_word = _build_vocab_trie(
+        edge_keys, edge_child, node_word, edge_probe = _build_vocab_trie(
             (w, i) for i, w in enumerate(p.words)
             if w not in ("<s>", "</s>", "<unk>"))
 
@@ -453,7 +504,7 @@ class DeviceProbingLM:
             uni_prob=np.ascontiguousarray(p.uni_prob, np.float32),
             uni_backoff=np.ascontiguousarray(p.uni_backoff, np.float32),
             edge_keys=edge_keys, edge_child=edge_child,
-            node_word=node_word)
+            node_word=node_word, probe=probe, edge_probe=edge_probe)
 
     def arrays(self) -> DeviceProbingLMArrays:
         """Device-resident view, uploaded once and cached (see
@@ -462,15 +513,15 @@ class DeviceProbingLM:
         if cached is None:
             import jax
 
-            cached = DeviceProbingLMArrays(*jax.device_put(tuple(
-                DeviceProbingLMArrays(
-                    keys1=self.keys1, keys2=self.keys2,
-                    probs=self.probs, backoffs=self.backoffs,
-                    uni_prob=self.uni_prob, uni_backoff=self.uni_backoff,
-                    edge_keys=self.edge_keys, edge_child=self.edge_child,
-                    node_word=self.node_word,
-                    unk_id=np.asarray(0, np.int32),
-                    oov_ctx_id=np.asarray(0, np.int32)))))
+            cached = jax.device_put(DeviceProbingLMArrays(
+                keys1=self.keys1, keys2=self.keys2,
+                probs=self.probs, backoffs=self.backoffs,
+                uni_prob=self.uni_prob, uni_backoff=self.uni_backoff,
+                edge_keys=self.edge_keys, edge_child=self.edge_child,
+                node_word=self.node_word,
+                unk_id=np.asarray(0, np.int32),
+                oov_ctx_id=np.asarray(0, np.int32),
+                probe=self.probe, edge_probe=self.edge_probe))
             object.__setattr__(self, "_device_arrays", cached)
         return cached
 

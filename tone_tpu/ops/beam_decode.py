@@ -416,13 +416,11 @@ def _lm_lookup(lm, h1, h2):
     h1 & mask, linear probe; tone_tpu/decoding/device_lm.py).  The fused
     search is gather-latency-bound, so a single bounded probe beats any
     log-round search."""
-    from tone_tpu.decoding.device_lm import PROBE
-
     size = lm.keys1.shape[0]
     mask = jnp.uint32(size - 1)
     shift = 32 - size.bit_length() + 1  # Fibonacci hashing (see device_lm)
     base = (h1 * jnp.uint32(0x9E3779B1)) >> shift
-    j = base[..., None] + jnp.arange(PROBE, dtype=jnp.uint32)
+    j = base[..., None] + jnp.arange(lm.probe, dtype=jnp.uint32)
     j = (j & mask).astype(jnp.int32)
     hit = (jnp.take(lm.keys1, j) == h1[..., None]) \
         & (jnp.take(lm.keys2, j) == h2[..., None])       # (..., PROBE)
@@ -591,15 +589,13 @@ def _lm_score_probing(lm, ctx, wid):
 def _trie_child(lm, node, char):
     """Vocab-trie transition via the edge hash table; -1 propagates
     (dead = not a vocab prefix)."""
-    from tone_tpu.decoding.device_lm import PROBE
-
     n_chars = len(LABELS)
     key = node.astype(jnp.uint32) * n_chars + char.astype(jnp.uint32)
     size = lm.edge_keys.shape[0]
     mask = jnp.uint32(size - 1)
     shift = 32 - size.bit_length() + 1  # Fibonacci hashing (see device_lm)
     base = (key * jnp.uint32(0x9E3779B1)) >> shift
-    j = base[..., None] + jnp.arange(PROBE, dtype=jnp.uint32)
+    j = base[..., None] + jnp.arange(lm.edge_probe, dtype=jnp.uint32)
     j = (j & mask).astype(jnp.int32)
     hit = jnp.take(lm.edge_keys, j) == key[..., None]
     found = hit.any(axis=-1) & (node >= 0)
