@@ -153,6 +153,59 @@ def measure(lm, n_grams_actual: int, beam_width: int, batch: int) -> dict:
     }
 
 
+def synth_probing_lm(n_grams: int, n_words: int = 100_000, seed: int = 0):
+    """The flagship-path variant: write a PROBING ``kenlm.bin`` of
+    ``n_grams`` entries through the first-party writer (the published
+    artifact's format, reference tone/decoder.py:84-95), then load it
+    back through DeviceProbingLM — binary write + parse + re-bucketing +
+    vocab-trie build all at production scale."""
+    import tempfile
+
+    from tone_tpu.config import LABELS
+    from tone_tpu.decoding.device_lm import DeviceProbingLM
+    from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
+
+    rng = np.random.default_rng(seed)
+    chars = [c for c in LABELS if c != " "]
+    words = []
+    for i in range(n_words):
+        w, x = [], i + n_words
+        while x:
+            w.append(chars[x % len(chars)])
+            x //= len(chars)
+        words.append("".join(w))
+
+    t0 = time.monotonic()
+    uni = {("<unk>",): (-3.0, -0.5), ("<s>",): (-99.0, -0.4),
+           ("</s>",): (-2.0, 0.0)}
+    for w in words:
+        uni[(w,)] = (round(float(rng.uniform(-6, -1)), 4), -0.3)
+    n_bi = max(0, int((n_grams - len(uni)) * 0.6))
+    n_tri = max(0, n_grams - len(uni) - n_bi)
+    bi, tri = {}, {}
+    ids = rng.integers(0, n_words, (n_bi, 2))
+    for a, b in ids:
+        bi[(words[a], words[b])] = (-1.5, -0.2)
+    ids = rng.integers(0, n_words, (n_tri, 3))
+    for a, b, c in ids:
+        tri[(words[a], words[b], words[c])] = (-1.0, 0.0)
+    t_tables = time.monotonic() - t0
+
+    path = Path(tempfile.mkdtemp()) / "kenlm.bin"
+    t0 = time.monotonic()
+    write_kenlm_binary([uni, bi, tri], path)
+    t_write = time.monotonic() - t0
+    t0 = time.monotonic()
+    lm = DeviceProbingLM.from_file(path)
+    t_load = time.monotonic() - t0
+    total = len(uni) + len(bi) + len(tri)
+    return lm, total, {"synth_s": round(t_tables, 1),
+                       "write_s": round(t_write, 1),
+                       "load_s": round(t_load, 1),
+                       "bin_mb": round(path.stat().st_size / 1e6, 1),
+                       "probe": lm.probe}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--grams", type=float, nargs="+",
@@ -160,6 +213,10 @@ def main() -> None:
     parser.add_argument("--beam-width", type=int, default=16)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--probing", action="store_true",
+                        help="go through a written probing kenlm.bin and "
+                             "DeviceProbingLM (the published-artifact path) "
+                             "instead of synthetic DeviceLM tables")
     args = parser.parse_args()
 
     if args.cpu:
@@ -168,7 +225,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     for g in args.grams:
-        lm, actual, build = synth_device_lm(int(g))
+        if args.probing:
+            lm, actual, build = synth_probing_lm(int(g))
+        else:
+            lm, actual, build = synth_device_lm(int(g))
         row = measure(lm, actual, args.beam_width, args.batch)
         row.update(build)
         print(json.dumps(row), flush=True)
