@@ -74,19 +74,20 @@ class DeviceLMArrays(_ArraysBase):
     table (the chain hash of an id sequence depends on its length, so
     grams of different orders cannot structurally collide), bucket =
     h1 & (size-1), entries linearly probed — one contiguous-window gather
-    replaces a ~20-round binary search.  The vocab trie's edges use the
-    same scheme keyed by node*n_chars+char.  The probe window widens with
-    table size (8 → up to 64) instead of shrinking the load factor: at
-    25M grams a fixed 8-slot window forces ~5% load (8.6 GB); a 32-slot
-    window holds 37% load (1.1 GB) and the wider contiguous gather is
-    still one latency-bound load."""
+    replaces a ~20-round binary search.  Within a probe, the table is
+    array-of-structs: each slot's row packs (key1, key2, prob, backoff) as
+    four u32 words (floats bitcast), so key compare AND payload read come
+    out of the SAME row gather — separate keys/payload arrays cost four
+    sequential gather rounds per lookup where one suffices.  The vocab
+    trie's edges use the same scheme keyed by node*n_chars+char, rows
+    packed (key, child).  The probe window widens with table size (8 → up
+    to 64) instead of shrinking the load factor: at 25M grams a fixed
+    8-slot window forces ~5% load (8.6 GB); a 32-slot window holds 37%
+    load (1.1 GB) and the wider contiguous gather is still one
+    latency-bound load."""
 
-    keys1: "np.ndarray"      # (S,) u32, open-addressed; empty = sentinel
-    keys2: "np.ndarray"      # (S,) u32 verification
-    probs: "np.ndarray"      # (S,) f32 log10
-    backoffs: "np.ndarray"   # (S,) f32 log10
-    edge_keys: "np.ndarray"  # (SE,) u32 node*n_chars+char; empty = 2^32-1
-    edge_child: "np.ndarray" # (SE,) i32
+    table: "np.ndarray"      # (S, 4) u32 rows: k1, k2, bits(prob), bits(backoff)
+    edges: "np.ndarray"      # (SE, 2) u32 rows: node*n_chars+char, bits(child)
     node_word: "np.ndarray"
     unk_id: "np.ndarray"     # () int32
     # context id for out-of-vocabulary completed words: hashes to nothing,
@@ -103,22 +104,19 @@ class DeviceLMArrays(_ArraysBase):
 class DeviceProbingLMArrays(_ArraysBase):
     """Jit-traversable view of a :class:`DeviceProbingLM`.
 
-    Same trie fields as :class:`DeviceLMArrays` (the search's trie walk is
-    shared) but the gram table holds the KenLM binary's own 64-bit chain
-    keys, salted by gram length and split into two u32 words (keys1 = low
-     32 bits — the bucket source — keys2 = high 32), and unigrams live in
-    the binary's dense-by-word-id arrays instead of the hash table.  The
-    fused search dispatches on this type to the KenLM-semantics scorer
-    (ops/beam_decode.py ``_lm_score_probing``)."""
+    Same packed trie rows as :class:`DeviceLMArrays` (the search's trie
+    walk is shared) but the gram table's rows hold the KenLM binary's own
+    64-bit chain keys, salted by gram length and split into two u32 words
+    (row[0] = low 32 bits — the bucket source — row[1] = high 32), and
+    unigrams live in the binary's dense-by-word-id arrays instead of the
+    hash table.  The fused search dispatches on this type to the
+    KenLM-semantics scorer (ops/beam_decode.py ``_lm_score_probing``)."""
 
-    keys1: "np.ndarray"       # (S,) u32 — low 32 of salted u64 key
-    keys2: "np.ndarray"       # (S,) u32 — high 32
-    probs: "np.ndarray"       # (S,) f32 log10 (sign-bit flag stripped)
-    backoffs: "np.ndarray"    # (S,) f32 log10 (0 for longest order)
+    table: "np.ndarray"       # (S, 4) u32 rows: key lo32, key hi32,
+                              #   bits(log10 prob), bits(log10 backoff)
     uni_prob: "np.ndarray"    # (counts[0]+1,) f32, index = KenLM word id
     uni_backoff: "np.ndarray" # (counts[0]+1,) f32
-    edge_keys: "np.ndarray"   # vocab trie, as in DeviceLMArrays
-    edge_child: "np.ndarray"
+    edges: "np.ndarray"       # vocab trie, as in DeviceLMArrays
     node_word: "np.ndarray"   # terminal KenLM word id or -1
     unk_id: "np.ndarray"      # () int32 == 0 (KenLM fixes <unk> at id 0)
     # KenLM maps OOV context words to <unk> (id 0) — unlike ArpaLM, which
@@ -260,6 +258,14 @@ def _build_vocab_trie(pairs) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
     return edge_keys, edge_child, np.asarray(node_word, np.int32), edge_probe
 
 
+def _pack_rows(*cols: "np.ndarray") -> "np.ndarray":
+    """Interleave same-length u32/i32/f32 columns into (S, n) u32 rows
+    (floats/ints bitcast) — the array-of-structs device layout that lets
+    one row gather serve both key comparison and payload read."""
+    return np.stack([np.ascontiguousarray(c).view(np.uint32) for c in cols],
+                    axis=1)
+
+
 def _hash_ids(ids: "list[int] | np.ndarray") -> tuple[np.uint32, np.uint32]:
     """Chain hash of a word-id sequence (twin of the jnp version; plain
     Python ints — numpy scalar ops are ~20x slower per call)."""
@@ -359,9 +365,9 @@ class DeviceLM:
             import jax
 
             cached = jax.device_put(DeviceLMArrays(
-                keys1=self.keys1, keys2=self.keys2,
-                probs=self.probs, backoffs=self.backoffs,
-                edge_keys=self.edge_keys, edge_child=self.edge_child,
+                table=_pack_rows(self.keys1, self.keys2,
+                                 self.probs, self.backoffs),
+                edges=_pack_rows(self.edge_keys, self.edge_child),
                 node_word=self.node_word,
                 unk_id=np.asarray(self.unk_id, np.int32),
                 oov_ctx_id=np.asarray(self.n_words, np.int32),
@@ -514,10 +520,10 @@ class DeviceProbingLM:
             import jax
 
             cached = jax.device_put(DeviceProbingLMArrays(
-                keys1=self.keys1, keys2=self.keys2,
-                probs=self.probs, backoffs=self.backoffs,
+                table=_pack_rows(self.keys1, self.keys2,
+                                 self.probs, self.backoffs),
                 uni_prob=self.uni_prob, uni_backoff=self.uni_backoff,
-                edge_keys=self.edge_keys, edge_child=self.edge_child,
+                edges=_pack_rows(self.edge_keys, self.edge_child),
                 node_word=self.node_word,
                 unk_id=np.asarray(0, np.int32),
                 oov_ctx_id=np.asarray(0, np.int32),

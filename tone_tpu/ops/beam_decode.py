@@ -412,23 +412,27 @@ def init_fused_beam_state(batch: int, beam_width: int, lm,
 
 def _lm_lookup(lm, h1, h2):
     """(found, prob, backoff) for query hashes of any shape — one
-    contiguous-window gather over the open-addressing table (bucket =
+    contiguous-window ROW gather over the open-addressing table (bucket =
     h1 & mask, linear probe; tone_tpu/decoding/device_lm.py).  The fused
     search is gather-latency-bound, so a single bounded probe beats any
-    log-round search."""
-    size = lm.keys1.shape[0]
+    log-round search, and the array-of-structs rows (k1, k2, prob,
+    backoff packed as four u32) mean the payload comes out of the same
+    gather as the key compare — the old separate keys1/keys2/probs/
+    backoffs arrays cost four sequential gather rounds here."""
+    size = lm.table.shape[0]
     mask = jnp.uint32(size - 1)
     shift = 32 - size.bit_length() + 1  # Fibonacci hashing (see device_lm)
     base = (h1 * jnp.uint32(0x9E3779B1)) >> shift
     j = base[..., None] + jnp.arange(lm.probe, dtype=jnp.uint32)
     j = (j & mask).astype(jnp.int32)
-    hit = (jnp.take(lm.keys1, j) == h1[..., None]) \
-        & (jnp.take(lm.keys2, j) == h2[..., None])       # (..., PROBE)
+    rows = jnp.take(lm.table, j, axis=0)                 # (..., PROBE, 4)
+    hit = (rows[..., 0] == h1[..., None]) & (rows[..., 1] == h2[..., None])
     found = hit.any(axis=-1)
     first = jnp.argmax(hit, axis=-1)
-    sel = jnp.take_along_axis(j, first[..., None], axis=-1)[..., 0]
-    prob = jnp.where(found, jnp.take(lm.probs, sel), 0.0)
-    bo = jnp.where(found, jnp.take(lm.backoffs, sel), 0.0)
+    sel = jnp.take_along_axis(rows, first[..., None, None], axis=-2)[..., 0, :]
+    f32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.float32)
+    prob = jnp.where(found, f32(sel[..., 2]), 0.0)
+    bo = jnp.where(found, f32(sel[..., 3]), 0.0)
     return found, prob, bo
 
 
@@ -591,17 +595,20 @@ def _trie_child(lm, node, char):
     (dead = not a vocab prefix)."""
     n_chars = len(LABELS)
     key = node.astype(jnp.uint32) * n_chars + char.astype(jnp.uint32)
-    size = lm.edge_keys.shape[0]
+    size = lm.edges.shape[0]
     mask = jnp.uint32(size - 1)
     shift = 32 - size.bit_length() + 1  # Fibonacci hashing (see device_lm)
     base = (key * jnp.uint32(0x9E3779B1)) >> shift
     j = base[..., None] + jnp.arange(lm.edge_probe, dtype=jnp.uint32)
     j = (j & mask).astype(jnp.int32)
-    hit = jnp.take(lm.edge_keys, j) == key[..., None]
+    rows = jnp.take(lm.edges, j, axis=0)    # (..., PROBE, 2): key, child
+    hit = rows[..., 0] == key[..., None]
     found = hit.any(axis=-1) & (node >= 0)
     first = jnp.argmax(hit, axis=-1)
-    sel = jnp.take_along_axis(j, first[..., None], axis=-1)[..., 0]
-    return jnp.where(found, jnp.take(lm.edge_child, sel), -1)
+    child = jnp.take_along_axis(rows[..., 1], first[..., None],
+                                axis=-1)[..., 0]
+    child = jax.lax.bitcast_convert_type(child, jnp.int32)
+    return jnp.where(found, child, -1)
 
 
 def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
