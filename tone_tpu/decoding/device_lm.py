@@ -87,8 +87,10 @@ class DeviceLMArrays(_ArraysBase):
     latency-bound load."""
 
     table: "np.ndarray"      # (S, 4) u32 rows: k1, k2, bits(prob), bits(backoff)
-    edges: "np.ndarray"      # (SE, 2) u32 rows: node*n_chars+char, bits(child)
-    node_word: "np.ndarray"
+    # (SE, 3) u32 rows: node*n_chars+char, bits(child), bits(node_word[child])
+    # — the child's terminal word id rides in the edge row so the search
+    # never needs a separate node_word gather (it carries the id per beam)
+    edges: "np.ndarray"
     unk_id: "np.ndarray"     # () int32
     # context id for out-of-vocabulary completed words: hashes to nothing,
     # reproducing the host search's behavior of keeping the literal OOV
@@ -117,7 +119,6 @@ class DeviceProbingLMArrays(_ArraysBase):
     uni_prob: "np.ndarray"    # (counts[0]+1,) f32, index = KenLM word id
     uni_backoff: "np.ndarray" # (counts[0]+1,) f32
     edges: "np.ndarray"       # vocab trie, as in DeviceLMArrays
-    node_word: "np.ndarray"   # terminal KenLM word id or -1
     unk_id: "np.ndarray"      # () int32 == 0 (KenLM fixes <unk> at id 0)
     # KenLM maps OOV context words to <unk> (id 0) — unlike ArpaLM, which
     # keeps the literal string; parity target here is KenLMBinary.score.
@@ -266,6 +267,15 @@ def _pack_rows(*cols: "np.ndarray") -> "np.ndarray":
                     axis=1)
 
 
+def _pack_edges(edge_keys, edge_child, node_word) -> "np.ndarray":
+    """Edge rows (key, child, node_word[child]): the child's terminal word
+    id is denormalized into the edge so a trie step resolves node AND word
+    in one row gather (empty slots hold child 0 — their word column is
+    never read, the key can't match)."""
+    child_word = node_word[np.clip(edge_child, 0, len(node_word) - 1)]
+    return _pack_rows(edge_keys, edge_child, child_word)
+
+
 def _hash_ids(ids: "list[int] | np.ndarray") -> tuple[np.uint32, np.uint32]:
     """Chain hash of a word-id sequence (twin of the jnp version; plain
     Python ints — numpy scalar ops are ~20x slower per call)."""
@@ -367,8 +377,8 @@ class DeviceLM:
             cached = jax.device_put(DeviceLMArrays(
                 table=_pack_rows(self.keys1, self.keys2,
                                  self.probs, self.backoffs),
-                edges=_pack_rows(self.edge_keys, self.edge_child),
-                node_word=self.node_word,
+                edges=_pack_edges(self.edge_keys, self.edge_child,
+                                  self.node_word),
                 unk_id=np.asarray(self.unk_id, np.int32),
                 oov_ctx_id=np.asarray(self.n_words, np.int32),
                 probe=self.probe, edge_probe=self.edge_probe))
@@ -523,8 +533,8 @@ class DeviceProbingLM:
                 table=_pack_rows(self.keys1, self.keys2,
                                  self.probs, self.backoffs),
                 uni_prob=self.uni_prob, uni_backoff=self.uni_backoff,
-                edges=_pack_rows(self.edge_keys, self.edge_child),
-                node_word=self.node_word,
+                edges=_pack_edges(self.edge_keys, self.edge_child,
+                                  self.node_word),
                 unk_id=np.asarray(0, np.int32),
                 oov_ctx_id=np.asarray(0, np.int32),
                 probe=self.probe, edge_probe=self.edge_probe))

@@ -388,6 +388,8 @@ class FusedBeamState(NamedTuple):
     base: BeamState
     ctx: jnp.ndarray    # (B, W, order-1) int32 word ids, -1 = missing
     node: jnp.ndarray   # (B, W) int32 vocab-trie node; 0 root, -1 dead
+    wid: jnp.ndarray    # (B, W) int32 node_word[node] (-1 = not a word) —
+                        # carried so no per-frame node_word gather is needed
     lm_sc: jnp.ndarray  # (B, W) f32 accumulated fusion score (natural log)
 
     @property
@@ -406,6 +408,7 @@ def init_fused_beam_state(batch: int, beam_width: int, lm,
         base=init_beam_state(batch, beam_width, max_len),
         ctx=jnp.asarray(ctx),
         node=jnp.zeros((batch, beam_width), jnp.int32),
+        wid=jnp.full((batch, beam_width), -1, jnp.int32),  # root: no word
         lm_sc=jnp.zeros((batch, beam_width), jnp.float32),
     )
 
@@ -590,9 +593,10 @@ def _lm_score_probing(lm, ctx, wid):
     return prob + backoff
 
 
-def _trie_child(lm, node, char):
-    """Vocab-trie transition via the edge hash table; -1 propagates
-    (dead = not a vocab prefix)."""
+def _trie_step(lm, node, char):
+    """Vocab-trie transition via the edge hash table: (child, child's
+    terminal word id) in ONE row gather — the edge rows are (key, child,
+    node_word[child]).  -1 propagates (dead = not a vocab prefix)."""
     n_chars = len(LABELS)
     key = node.astype(jnp.uint32) * n_chars + char.astype(jnp.uint32)
     size = lm.edges.shape[0]
@@ -601,14 +605,14 @@ def _trie_child(lm, node, char):
     base = (key * jnp.uint32(0x9E3779B1)) >> shift
     j = base[..., None] + jnp.arange(lm.edge_probe, dtype=jnp.uint32)
     j = (j & mask).astype(jnp.int32)
-    rows = jnp.take(lm.edges, j, axis=0)    # (..., PROBE, 2): key, child
+    rows = jnp.take(lm.edges, j, axis=0)    # (..., PROBE, 3)
     hit = rows[..., 0] == key[..., None]
     found = hit.any(axis=-1) & (node >= 0)
     first = jnp.argmax(hit, axis=-1)
-    child = jnp.take_along_axis(rows[..., 1], first[..., None],
-                                axis=-1)[..., 0]
-    child = jax.lax.bitcast_convert_type(child, jnp.int32)
-    return jnp.where(found, child, -1)
+    sel = jnp.take_along_axis(rows, first[..., None, None], axis=-2)[..., 0, :]
+    i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)
+    return (jnp.where(found, i32(sel[..., 1]), -1),
+            jnp.where(found, i32(sel[..., 2]), -1))
 
 
 def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
@@ -623,7 +627,7 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
     candidates always carry identical LM fields (they are a function of the
     collapsed text alone), so reconstruction from any representative is
     sound."""
-    p_b, p_nb, h1, h2, lc, ctx, node, lm_sc = carry
+    p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc = carry
     frame, active = xs
     b_sz, w = p_b.shape
     v_total = frame.shape[-1]
@@ -659,9 +663,10 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
 
     # --- the one pre-prune LM computation: the space expansion's word ------
     word_event = (lc >= 0) & (lc != SPACE_ID)                # (B, W)
-    wid = jnp.take(lm.node_word, jnp.clip(node, 0, None))
-    is_vocab = (node >= 0) & (wid >= 0)
-    wid = jnp.where(is_vocab, wid, lm.unk_id)     # scored as <unk> (host parity)
+    # nw carries node_word[node] alongside the node (updated by the same
+    # edge-row gather as the trie transition) — no per-frame gather here
+    is_vocab = (node >= 0) & (nw >= 0)
+    wid = jnp.where(is_vocab, nw, lm.unk_id)      # scored as <unk> (host parity)
     # the context keeps a never-matching id for OOV words: the host search
     # carries the literal unknown string, so later lookups/backoffs on it
     # miss — substituting <unk> would pick up <unk>'s backoff weight
@@ -729,8 +734,10 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
     new_ctx = jnp.where(completed[..., None], p_shifted, p_ctx)
     p_node = takep(node)
     is_char = (n_e >= 0) & ~completed
-    child = _trie_child(lm, p_node, jnp.clip(n_e, 0, None))
+    child, child_word = _trie_step(lm, p_node, jnp.clip(n_e, 0, None))
     new_node = jnp.where(completed, 0, jnp.where(is_char, child, p_node))
+    new_nw = jnp.where(completed, -1,
+                       jnp.where(is_char, child_word, takep(nw)))
     new_lm = takep(lm_sc) + jnp.where(completed, takep(delta), 0.0)
 
     keep = active[:, None]
@@ -744,6 +751,7 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
         jnp.where(keep, take(c_lc), lc),
         jnp.where(keep[..., None], new_ctx, ctx),
         jnp.where(keep, new_node, node),
+        jnp.where(keep, new_nw, nw),
         jnp.where(keep, new_lm, lm_sc),
     )
     return carry, (out_parent, out_e)
@@ -753,18 +761,18 @@ def _advance_fused(state: FusedBeamState, logprobs, active, lm,
                    alpha, beta, token_min_logp) -> FusedBeamState:
     base = state.base
     carry = (base.p_b, base.p_nb, base.h1, base.h2, base.lc,
-             state.ctx, state.node, state.lm_sc)
+             state.ctx, state.node, state.wid, state.lm_sc)
     step = lambda c, xs: _fused_frame_step(
         c, xs, lm=lm, alpha=alpha, beta=beta, token_min_logp=token_min_logp)
     carry, (parents, emits) = jax.lax.scan(
         step, carry,
         (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
-    p_b, p_nb, h1, h2, lc, ctx, node, lm_sc = carry
+    p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc = carry
     tokens, lens = _backtrack_and_splice(base.tokens, base.lens,
                                          parents, emits)
     return FusedBeamState(
         base=BeamState(p_b, p_nb, h1, h2, lc, tokens, lens),
-        ctx=ctx, node=node, lm_sc=lm_sc)
+        ctx=ctx, node=node, wid=nw, lm_sc=lm_sc)
 
 
 _advance_fused_jit = jax.jit(_advance_fused)
