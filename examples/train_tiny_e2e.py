@@ -56,7 +56,7 @@ def make_dataset() -> list[dict]:
 
 
 def run_training(steps: int = 400, lr: float = 1e-3, seed: int = 0):
-    """Train the tiny model; returns (config, deployable variables dict)."""
+    """Train the tiny model; returns (cfg, trainer, state, collator, items)."""
     from tone_tpu.core.model import init_model_params
     from tone_tpu.parallel.mesh import make_mesh
     from tone_tpu.training import DataCollatorCTCWithPadding, Trainer, TrainerConfig

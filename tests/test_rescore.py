@@ -103,3 +103,23 @@ def test_decoder_validates_input():
         dev.forward([[0.0] * V])
     with pytest.raises(ValueError):
         dev.forward(np.zeros((5, V), np.float64))
+
+
+def test_forward_batch_length_bucket_grouping():
+    """Mixed-length batches decode per frame bucket (64·2^k groups) with
+    optional batch_floor/max_batch serving pins — results must be
+    identical to per-phrase decoding regardless of the grouping."""
+    rng = np.random.default_rng(11)
+    lm = _lm_over(["да", "на"], {"да"})
+    dev = DeviceBeamSearchCTCDecoder(lm, beam_width=8, nbest=4)
+    phrases = []
+    for frames in (10, 70, 140, 300, 12, 65):
+        logits = rng.normal(0, 3.0, (frames, V))
+        x = logits - logits.max(-1, keepdims=True)
+        phrases.append(
+            (x - np.log(np.exp(x).sum(-1, keepdims=True))).astype(np.float32))
+    singles = [dev.forward(p) for p in phrases]
+    assert dev.forward_batch(phrases) == singles
+
+    dev.batch_floor = dev.max_batch = 2   # serving pins: split + pad
+    assert dev.forward_batch(phrases) == singles

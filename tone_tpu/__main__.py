@@ -44,7 +44,6 @@ def _build_pipeline(args):
 
     from tone_tpu.acoustic import StreamingCTCModel
     from tone_tpu.config import ToneConfig
-    from tone_tpu.decoder import BeamSearchCTCDecoder, GreedyCTCDecoder
     from tone_tpu.pipeline import StreamingCTCPipeline
     from tone_tpu.splitter import StreamingLogprobSplitter
 
@@ -60,22 +59,13 @@ def _build_pipeline(args):
 
         print("warning: no checkpoint given — using RANDOM weights")
         model = StreamingCTCModel(init_model_params(jax.random.PRNGKey(0), config), config)
-    if args.decoder == "beam":
-        decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
-                   else BeamSearchCTCDecoder())
-    elif args.decoder == "device-beam":
-        from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    from tone_tpu.decoder import build_decoder
 
-        if args.fused_lm and not args.lm:
-            raise SystemExit("--fused-lm requires --lm (an ARPA or KenLM "
-                             "trie-family LM to fuse)")
-        decoder = (DeviceBeamSearchCTCDecoder.from_local(
-                       args.lm, fusion=args.fused_lm) if args.lm
-                   else DeviceBeamSearchCTCDecoder())
-    elif args.fused_lm:
-        raise SystemExit("--fused-lm only applies to --decoder device-beam")
-    else:
-        decoder = GreedyCTCDecoder()
+    try:
+        decoder = build_decoder(args.decoder, lm=args.lm,
+                                fused_lm=args.fused_lm)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
     return StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)
 
 

@@ -26,7 +26,7 @@ if TYPE_CHECKING:
     from tone_tpu.decoding.lm import LanguageModel
 
 __all__ = ["LABELS", "DecoderType", "GreedyCTCDecoder", "BeamSearchCTCDecoder",
-           "DeviceBeamSearchCTCDecoder"]
+           "DeviceBeamSearchCTCDecoder", "build_decoder"]
 
 
 class DecoderType(Enum):
@@ -224,6 +224,13 @@ class DeviceBeamSearchCTCDecoder:
         self.nbest = nbest
         self.max_len = max_len
         self.fusion = fusion and lm is not None
+        # Serving knobs (MultiStreamEngine sets both to its final-decode
+        # batch): pad the device batch up to ``batch_floor`` rows and split
+        # larger lists into ``max_batch``-row calls, so the set of compiled
+        # (B, T) programs is exactly {(batch_floor, 64·2^k)} — warmable up
+        # front, no mid-serving XLA compiles.
+        self.batch_floor = 1
+        self.max_batch: int | None = None
         if self.fusion:
             from tone_tpu.decoding.device_lm import DeviceLM, DeviceProbingLM
 
@@ -257,10 +264,21 @@ class DeviceBeamSearchCTCDecoder:
         _validate_logprobs(logprobs)
         return self.forward_batch([logprobs])[0]
 
-    def _pad_batch(self, logprobs_list):
+    @staticmethod
+    def _t_bucket(frames: int) -> int:
+        """Frame-count bucket: 64·2^k (64, 128, 256, …) — few enough
+        programs that a server can precompile every one."""
+        t = 64
+        while t < frames:
+            t <<= 1
+        return t
+
+    def _pad_batch(self, logprobs_list, t_pad=None):
         lengths = [lp.shape[0] for lp in logprobs_list]
-        t_pad = max(-(-max(lengths) // 64) * 64, 64)
-        b_pad = 1 << (len(logprobs_list) - 1).bit_length()
+        if t_pad is None:
+            t_pad = self._t_bucket(max(lengths))
+        b_pad = max(1 << (len(logprobs_list) - 1).bit_length(),
+                    self.batch_floor)
         v = logprobs_list[0].shape[1]
         padded = np.zeros((b_pad, t_pad, v), np.float32)
         for row, lp in enumerate(logprobs_list):
@@ -268,16 +286,36 @@ class DeviceBeamSearchCTCDecoder:
         return padded, np.array(lengths + [0] * (b_pad - len(logprobs_list)))
 
     def forward_batch(self, logprobs_list) -> list[str]:
-        """Decode a list of (L_i, vocab+1) phrases in one device call.
+        """Decode a list of (L_i, vocab+1) phrases on device.
 
-        Batch and frame counts are padded to buckets (powers of two / ×64)
-        so XLA compiles one program per bucket, not per shape — the same
-        policy as OfflineTranscriber's acoustic batching.
+        Phrases are grouped by frame-count bucket (64·2^k) and each group
+        decodes in one device call, so one 1900-frame force-split phrase
+        does not pad thirty 50-frame phrases to its length; groups larger
+        than ``max_batch`` split into sequential calls.  Batch counts pad
+        to powers of two (with a ``batch_floor``) so XLA compiles one
+        program per bucket, not per shape — the same policy as
+        OfflineTranscriber's acoustic batching.
         """
         if not logprobs_list:
             return []
+        groups: dict[int, list[int]] = {}
+        for i, lp in enumerate(logprobs_list):
+            groups.setdefault(self._t_bucket(lp.shape[0]), []).append(i)
+        out: list[str | None] = [None] * len(logprobs_list)
+        for t_pad in sorted(groups):
+            idxs = groups[t_pad]
+            cap = self.max_batch or len(idxs)
+            for k in range(0, len(idxs), cap):
+                chunk = idxs[k:k + cap]
+                texts = self._decode_bucket(
+                    [logprobs_list[i] for i in chunk], t_pad)
+                for i, text in zip(chunk, texts):
+                    out[i] = text
+        return out
+
+    def _decode_bucket(self, logprobs_list, t_pad) -> list[str]:
         n = len(logprobs_list)
-        padded, lengths = self._pad_batch(logprobs_list)
+        padded, lengths = self._pad_batch(logprobs_list, t_pad)
 
         if self.fusion:
             from tone_tpu.ops.beam_decode import (
@@ -305,3 +343,37 @@ class DeviceBeamSearchCTCDecoder:
                                    alpha=self.alpha, beta=self.beta)
             out.append(ranked[0][0] if ranked else "")
         return out
+
+
+def build_decoder(kind: str, *, lm: "str | Path | None" = None,
+                  fused_lm: bool = False, beam_width: int | None = None):
+    """CLI-facing decoder factory shared by ``python -m tone_tpu`` and the
+    standalone server (``tone_tpu/runtime/server.py``) so their dispatch
+    and validation cannot drift.
+
+    ``kind`` is ``greedy`` / ``beam`` / ``device-beam``.  ``lm`` is a path
+    to an ARPA text LM or any of the six KenLM binary formats.  ``fused_lm``
+    selects full device-side shallow fusion (device-beam only; requires
+    ``lm``).  ``beam_width`` overrides the decoder's default width.
+    Raises ``ValueError`` on inconsistent flag combinations.
+    """
+    if kind == "device-beam":
+        if fused_lm and not lm:
+            raise ValueError("--fused-lm requires --lm (an ARPA or KenLM "
+                             "LM artifact to fuse)")
+        kwargs = {"beam_width": beam_width} if beam_width else {}
+        if lm:
+            return DeviceBeamSearchCTCDecoder.from_local(
+                lm, fusion=fused_lm, **kwargs)
+        return DeviceBeamSearchCTCDecoder(**kwargs)
+    if fused_lm:
+        raise ValueError("--fused-lm only applies to --decoder device-beam")
+    if kind == "beam":
+        decoder = (BeamSearchCTCDecoder.from_local(lm) if lm
+                   else BeamSearchCTCDecoder())
+        if beam_width:
+            decoder.beam_width = beam_width
+        return decoder
+    if kind == "greedy":
+        return GreedyCTCDecoder()
+    raise ValueError(f"unknown decoder kind: {kind!r}")

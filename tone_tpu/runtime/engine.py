@@ -87,7 +87,8 @@ class MultiStreamEngine:
                  interim_beam_width: int = 8,
                  interim_beam_max_len: int = 2048,
                  idle_evict_seconds: float | None = None,
-                 force_evict_grace: float | None = None) -> None:
+                 force_evict_grace: float | None = None,
+                 final_decode_batch: int = 64) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -115,7 +116,12 @@ class MultiStreamEngine:
         ``idle_evict_seconds`` overrides the Triton-parity 15 s idle reap;
         ``force_evict_grace`` overrides the 1 s quiet period below which a
         slot is never stolen under pressure (a deviation from Triton,
-        which only ever reaps idle streams — see _evict_idle_locked)."""
+        which only ever reaps idle streams — see _evict_idle_locked).
+
+        ``final_decode_batch``: device-batch bucket for final-phrase
+        decodes (device_finals path): phrase batches pad up to and split
+        at this many rows, so every serving decode hits one of the
+        programs warmup() precompiles."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
@@ -124,6 +130,13 @@ class MultiStreamEngine:
         # at arena scale the per-phrase host pool is the throughput ceiling
         # long before the TPU is (docs/serving.md).
         self.device_finals = hasattr(decoder, "forward_batch")
+        if self.device_finals:
+            # Pin the decoder to one device-batch bucket per frame bucket:
+            # every serving decode then hits a program warmup() compiled up
+            # front — no mid-tick XLA compiles, and a tick's worst case
+            # (every slot closing a phrase at once) runs as bounded
+            # sequential calls instead of one giant padded program.
+            decoder.batch_floor = decoder.max_batch = final_decode_batch
         self.interim_transcripts = (interim_transcripts or interim_beam
                                     or interim_device_beam)
         self.interim_device_beam = interim_device_beam
@@ -365,12 +378,26 @@ class MultiStreamEngine:
         multi-second compile mid-stream)."""
         self.arena.warmup()
         if self.device_finals:
-            # Compile the smallest final-decode bucket; other (B, T) buckets
-            # compile lazily on first use (forward_batch pads to powers of
-            # two / ×64 so the program count stays bounded).
+            # Compile EVERY final-decode program a serving tick can hit:
+            # the decoder is pinned to (final_decode_batch, 64·2^k) buckets
+            # and the splitter force-splits phrases at MAX_PHRASE_DURATION
+            # (+expand margin) frames, so the bucket set is closed — after
+            # this loop no tick ever pays a mid-serving XLA compile.
+            # Minutes-long for the fused-LM scan: enable the persistent
+            # compile cache (tone_tpu.export.enable_compilation_cache) so
+            # deployments pay it once ever.
+            from tone_tpu.splitter import StreamingLogprobSplitter as _S
+
+            max_frames = _S.MAX_PHRASE_DURATION + 2 * _S.SPEECH_EXPAND_SIZE
             v = len(self._labels) + 1
-            dummy = np.full((64, v), -3.5, np.float32)
-            self.decoder.forward_batch([dummy])
+            t = 64
+            while True:
+                frames = min(t, max_frames)
+                self.decoder.forward_batch(
+                    [np.full((frames, v), -3.5, np.float32)])
+                if t >= max_frames:
+                    break
+                t <<= 1
         if self.interim_device_beam:
             from tone_tpu.ops.beam_decode import (
                 beam_advance, beam_reset, beam_top_tokens, init_beam_state)

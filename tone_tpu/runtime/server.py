@@ -295,21 +295,14 @@ def main() -> None:
         logger.warning("no checkpoint given: serving RANDOM weights")
         variables = init_model_params(jax.random.PRNGKey(0), config)
 
-    decoder = None
-    if args.decoder == "beam":
-        from tone_tpu.decoder import BeamSearchCTCDecoder
+    from tone_tpu.decoder import build_decoder
 
-        decoder = (BeamSearchCTCDecoder.from_local(args.lm) if args.lm
-                   else BeamSearchCTCDecoder())
-        if args.beam_width:
-            decoder.beam_width = args.beam_width
-    elif args.decoder == "device-beam":
-        from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
-
-        kwargs = {"beam_width": args.beam_width} if args.beam_width else {}
-        decoder = (DeviceBeamSearchCTCDecoder.from_local(
-                       args.lm, fusion=args.fused_lm, **kwargs) if args.lm
-                   else DeviceBeamSearchCTCDecoder(**kwargs))
+    try:
+        decoder = build_decoder(args.decoder, lm=args.lm,
+                                fused_lm=args.fused_lm,
+                                beam_width=args.beam_width)
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
 
     engine = MultiStreamEngine(variables, config, n_slots=args.slots,
                                decoder=decoder,
