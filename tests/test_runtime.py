@@ -386,3 +386,14 @@ def test_engine_knobs_are_constructor_params(variables, cfg):
     # class defaults untouched (instance-level overrides only)
     assert MultiStreamEngine.IDLE_EVICT_SECONDS == 15.0
     assert MultiStreamEngine.FORCE_EVICT_GRACE_SECONDS == 1.0
+
+
+def test_engine_pins_final_decode_buckets(variables, cfg):
+    """device_finals pins the decoder to (final_decode_batch, 64·2^k)
+    buckets so warmup() can precompile the closed program set."""
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+    decoder = DeviceBeamSearchCTCDecoder(beam_width=4)
+    MultiStreamEngine(variables, cfg, n_slots=2, decoder=decoder,
+                      final_decode_batch=16)
+    assert decoder.batch_floor == decoder.max_batch == 16

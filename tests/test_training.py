@@ -173,3 +173,29 @@ def test_grad_accumulation_equals_macro_batch():
     for m, a in zip(flat_m, flat_a):
         np.testing.assert_allclose(np.asarray(m), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_remat_policies_match_no_remat():
+    """remat='dots'/'full' recompute the forward during backward — the loss
+    and the updated params must match the default (no-remat) step."""
+    cfg = _tiny_cfg()
+    rng = np.random.default_rng(3)
+    batch = DataCollatorCTCWithPadding()(
+        [{"input_values": rng.normal(0, 0.1, 3000).astype(np.float32),
+          "labels": t} for t in ("да", "нет")])
+    mesh = make_mesh(n_data=2, n_model=1)
+
+    def one_step(remat):
+        variables = init_model_params(jax.random.PRNGKey(0), cfg)
+        trainer = Trainer(cfg, TrainerConfig(total_steps=4, remat=remat),
+                          mesh=mesh)
+        state = trainer.create_state(variables)
+        state, loss = trainer.train_step(state, batch)
+        return float(loss), jax.tree.leaves(state.params)[0]
+
+    loss0, p0 = one_step(None)
+    for remat in ("dots", "full"):
+        loss1, p1 = one_step(remat)
+        assert np.isclose(loss0, loss1, rtol=1e-5), (remat, loss0, loss1)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                   rtol=2e-4, atol=1e-6, err_msg=remat)

@@ -45,6 +45,12 @@ class TrainerConfig:
     # optimizer update (HF Trainer's gradient_accumulation_steps) — the
     # reference recipe's effective batch 64 under tighter HBM.
     grad_accum_steps: int = 1
+    # Rematerialization of the forward pass during backward: None lets XLA
+    # keep every activation (bandwidth-heavy at large batch), "dots" saves
+    # only matmul outputs (jax.checkpoint dots_with_no_batch_dims policy),
+    # "full" recomputes everything.  Measured trade-offs in
+    # docs/performance.md "Training throughput".
+    remat: str | None = None
     seed: int = 0
 
 
@@ -150,15 +156,27 @@ class Trainer:
         mesh = self.mesh
         b_sh = batch_sharding(mesh)
 
-        def loss_fn(params, batch_stats, rng, batch):
-            logprobs, out_lens, new_stats = apply_offline(
+        def forward(params, batch_stats, rng, input_values, input_lengths):
+            return apply_offline(
                 {"params": params, "batch_stats": batch_stats},
                 model_config,
-                batch["input_values"],
-                batch["input_lengths"],
+                input_values,
+                input_lengths,
                 rng=rng,
                 training=True,
             )
+
+        if self.config.remat is not None:
+            policy = {
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "full": None,
+            }[self.config.remat]
+            forward = jax.checkpoint(forward, policy=policy)
+
+        def loss_fn(params, batch_stats, rng, batch):
+            logprobs, out_lens, new_stats = forward(
+                params, batch_stats, rng,
+                batch["input_values"], batch["input_lengths"])
             loss = ctc_loss(
                 logprobs, out_lens, batch["labels"],
                 blank_id=model_config.blank_id,
