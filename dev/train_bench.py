@@ -35,6 +35,9 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--remat", choices=["dots", "full"], default=None)
+    parser.add_argument("--no-blocked-attention", action="store_true",
+                        help="masked (T,T) offline attention (the pre-"
+                             "blocked baseline) instead of mhsa_blocked")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -70,8 +73,9 @@ def main() -> None:
     batch = jax.device_put(batch)
     jax.block_until_ready(batch)
 
-    trainer = Trainer(cfg, TrainerConfig(grad_accum_steps=args.grad_accum,
-                                         remat=args.remat))
+    trainer = Trainer(cfg, TrainerConfig(
+        grad_accum_steps=args.grad_accum, remat=args.remat,
+        blocked_attention=not args.no_blocked_attention))
     variables = init_model_params(jax.random.PRNGKey(0), cfg)
     state = trainer.create_state(variables)
     n_params = sum(int(np.prod(p.shape))

@@ -329,8 +329,13 @@ def _conformer_layer(
     dtype,
     rngs=None,
     training: bool = False,
+    blocked: tuple[int, int, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None, Params]:
     """One Macaron Conformer block (reference conformer_blocks.py:799-836).
+
+    ``blocked`` = (chunk, left_context, lengths) routes the attention
+    through the block-diagonal offline path (layers.mhsa_blocked) instead
+    of a full (T, T) masked matmul; ``att_mask`` must then be None.
 
     Returns (output, scores, new_mhsa_window, new_conv_state, new_bn_stats).
     """
@@ -356,12 +361,23 @@ def _conformer_layer(
         new_window = None
 
     att_key = rngs["att"] if (training and rngs is not None) else None
-    y, scores = L.mhsa(
-        p["att"], a_in, kv,
-        n_heads=cfg.n_heads, rope_dim=cfg.rope_dim, k_offset=k_offset,
-        mask=att_mask, cached_scores=cached_scores, compute_dtype=dtype,
-        dropout_key=att_key, dropout_rate=cfg.dropout_att, training=training,
-    )
+    if blocked is not None:
+        chunk, left_context, lengths = blocked
+        y, scores = L.mhsa_blocked(
+            p["att"], a_in,
+            n_heads=cfg.n_heads, rope_dim=cfg.rope_dim, chunk=chunk,
+            left_context=left_context, lengths=lengths,
+            cached_scores=cached_scores, compute_dtype=dtype,
+            dropout_key=att_key, dropout_rate=cfg.dropout_att,
+            training=training,
+        )
+    else:
+        y, scores = L.mhsa(
+            p["att"], a_in, kv,
+            n_heads=cfg.n_heads, rope_dim=cfg.rope_dim, k_offset=k_offset,
+            mask=att_mask, cached_scores=cached_scores, compute_dtype=dtype,
+            dropout_key=att_key, dropout_rate=cfg.dropout_att, training=training,
+        )
     residual = residual + drop("att_out", y, cfg.dropout)
 
     y = L.rmsnorm(p["norm_conv"], residual)
@@ -528,12 +544,20 @@ def encoder_offline(
     dtype=jnp.bfloat16,
     rng=None,
     training: bool = False,
+    blocked_attention: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, Params]:
     """Full-sequence forward with masks that exactly simulate streaming.
 
     Mirrors the reference offline path (Encoder.forward without states) —
     attention is chunk-local (plus a 30-frame left-context window for the two
     stateful layers) so training matches chunked deployment.
+
+    ``blocked_attention`` (default) computes that chunk-local attention as
+    dense per-chunk blocks (layers.mhsa_blocked): O(T·window) score
+    traffic instead of a masked (T, T) matmul — equivalent outputs
+    (tests/test_encoder_blocked.py pins both paths against each other),
+    lower HBM traffic for the training step.  ``False`` keeps the
+    reference-shaped full-mask path.
 
     Args:
         feats: (B, T_feat, feat_in).
@@ -568,12 +592,24 @@ def encoder_offline(
 
     # Mask groups (True = masked). Layers 0..13 have no left context offline
     # (reference conformer_blocks.py:278-284); layers 14/15 keep theirs.
-    masks = {
-        "full_noctx": _offline_att_mask(t, chunk_full, 0, len_full),
-        "red_noctx": _offline_att_mask(t_red, chunk_red, 0, len_red),
-        "red_ctx": _offline_att_mask(t_red, chunk_red, win_red, len_red),
-        "full_ctx": _offline_att_mask(t, chunk_full, win_full, len_full),
-    }
+    # With blocked attention the group is (chunk, left_context, lengths)
+    # block parameters instead of a materialized (T, T) mask.
+    if blocked_attention:
+        groups = {
+            "full_noctx": (chunk_full, 0, len_full),
+            "red_noctx": (chunk_red, 0, len_red),
+            "red_ctx": (chunk_red, win_red, len_red),
+            "full_ctx": (chunk_full, win_full, len_full),
+        }
+        masks = {k: None for k in groups}
+    else:
+        groups = {}
+        masks = {
+            "full_noctx": _offline_att_mask(t, chunk_full, 0, len_full),
+            "red_noctx": _offline_att_mask(t_red, chunk_red, 0, len_red),
+            "red_ctx": _offline_att_mask(t_red, chunk_red, win_red, len_red),
+            "full_ctx": _offline_att_mask(t, chunk_full, win_full, len_full),
+        }
     pad_full = jnp.arange(t, dtype=jnp.int32)[None, :] >= len_full[:, None]
     pad_red = jnp.arange(t_red, dtype=jnp.int32)[None, :] >= len_red[:, None]
 
@@ -581,15 +617,17 @@ def encoder_offline(
         in_reduced = cfg.reduction_position < i <= cfg.upsample_position
         stateful = i >= cfg.mhsa_stateless_layers
         if in_reduced:
-            return masks["red_ctx"] if stateful else masks["red_noctx"], pad_red
-        return masks["full_ctx"] if stateful else masks["full_noctx"], pad_full
+            key = "red_ctx" if stateful else "red_noctx"
+            return key, pad_red
+        key = "full_ctx" if stateful else "full_noctx"
+        return key, pad_full
 
     new_layer_stats = []
     residual_pre_reduction = None
     cached_scores = None
 
     for i in range(cfg.n_layers):
-        att_mask, pad_mask = layer_masks(i)
+        group, pad_mask = layer_masks(i)
         if cfg.should_recompute_att_scores[i]:
             cached_scores = None
         rngs = None
@@ -600,7 +638,9 @@ def encoder_offline(
         x, scores, _, _, new_bn = _conformer_layer(
             params["layers"][i], batch_stats["layers"][i], x,
             cfg=cfg, mhsa_window=None, k_offset=0,
-            att_mask=att_mask, pad_mask=pad_mask, cached_scores=cached_scores,
+            att_mask=masks[group], pad_mask=pad_mask,
+            cached_scores=cached_scores,
+            blocked=groups.get(group) if blocked_attention else None,
             conv_state=None, dtype=dtype, rngs=rngs, training=training,
         )
         cached_scores = scores

@@ -350,3 +350,113 @@ def mhsa(
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, tq, d)
     out = linear(p["linear_out"], ctx, compute_dtype)
     return out, scores
+
+
+def _block_window(xb: jnp.ndarray, n_window_chunks: int) -> jnp.ndarray:
+    """(B, H, n, c, d) chunked array -> (B, H, n, (nw+1)*c, d) where chunk i's
+    window is chunks [i-nw .. i] (zeros shifted in before the sequence)."""
+    if n_window_chunks == 0:
+        return xb
+    parts = []
+    for j in range(n_window_chunks, 0, -1):
+        shifted = jnp.pad(xb, ((0, 0), (0, 0), (j, 0), (0, 0), (0, 0)))
+        parts.append(shifted[:, :, : xb.shape[2]])
+    parts.append(xb)
+    return jnp.concatenate(parts, axis=3)
+
+
+def mhsa_blocked(
+    p: Params,
+    x: jnp.ndarray,
+    *,
+    n_heads: int,
+    rope_dim: int,
+    chunk: int,
+    left_context: int,
+    lengths: jnp.ndarray,
+    cached_scores: jnp.ndarray | None,
+    compute_dtype=jnp.bfloat16,
+    dropout_key=None,
+    dropout_rate: float = 0.0,
+    training: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk-local attention as dense per-chunk blocks (offline path).
+
+    Mathematically identical to ``mhsa`` under the offline chunk-simulating
+    mask (encoder._offline_att_mask: each query chunk attends to itself
+    plus ``left_context`` preceding frames): every key the full mask
+    allows is inside the block window, and every key outside it would get
+    ``-1e4`` and underflow to exactly 0.0 in the fp32 softmax.  Computes
+    (B, H, n_chunks, c, w+c) score blocks instead of (B, H, T, T) —
+    O(T·window) score traffic instead of O(T²), which is what the
+    training step's HBM budget is made of at long T (docs/performance.md
+    "Training throughput").
+
+    ``left_context`` must be a whole number of chunks (the reference's
+    windows are: 30 = 3×10 full-rate, 15 = 3×5 reduced —
+    conformer_blocks.py:278-284).
+
+    Returns (output (B, T, D), scores (B, H, n, c, w+c) fp32) — scores are
+    reusable as ``cached_scores`` by score-sharing layers of the same
+    mask group, mirroring ``mhsa``.
+    """
+    b, t, d = x.shape
+    d_head = d // n_heads
+    assert left_context % chunk == 0, (left_context, chunk)
+    nw = left_context // chunk
+    n = -(-t // chunk)
+    tp = n * chunk
+    pad_t = tp - t
+
+    def blocked(proj):  # (B, T, H, dh) -> (B, H, n, c, dh)
+        proj = jnp.transpose(proj, (0, 2, 1, 3))  # (B, H, T, dh)
+        if pad_t:
+            proj = jnp.pad(proj, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        return proj.reshape(b, n_heads, n, chunk, d_head)
+
+    if cached_scores is None:
+        q = linear(p["linear_q"], x, compute_dtype).reshape(b, t, n_heads, d_head)
+        k = linear(p["linear_k"], x, compute_dtype).reshape(b, t, n_heads, d_head)
+        q = layernorm(p["q_ln"], q)
+        k = layernorm(p["k_ln"], k)
+        # RoPE positions are absolute, so it applies on the padded (B, H,
+        # Tp, dh) layout before blocking — identical math to the full-T path.
+        qb = blocked(q)
+        kb = blocked(k)
+        qb = apply_rope(qb.reshape(b, n_heads, tp, d_head), rope_dim, 0).reshape(
+            b, n_heads, n, chunk, d_head)
+        kb = apply_rope(kb.reshape(b, n_heads, tp, d_head), rope_dim, 0).reshape(
+            b, n_heads, n, chunk, d_head)
+        kwin = _block_window(kb, nw)
+        scores = jnp.einsum(
+            "bhnqd,bhnkd->bhnqk", qb, kwin, preferred_element_type=jnp.float32
+        ) / np.sqrt(d_head)
+    else:
+        scores = cached_scores
+
+    v = linear(p["linear_v"], x, compute_dtype).reshape(b, t, n_heads, d_head)
+    vwin = _block_window(blocked(v), nw)
+
+    # Mask (True = masked): window slot s of chunk i is global column
+    # (i - nw) * chunk + s — masked when it's before the sequence start or
+    # at/past the valid length; rows at/past the valid length mask fully.
+    cols = (np.arange(n)[:, None] - nw) * chunk + np.arange((nw + 1) * chunk)
+    rows = (np.arange(n)[:, None] * chunk + np.arange(chunk)).reshape(n, chunk)
+    col_ok = (jnp.asarray(cols)[None] >= 0) & (
+        jnp.asarray(cols)[None] < lengths[:, None, None])        # (B, n, w+c)
+    row_ok = jnp.asarray(rows)[None] < lengths[:, None, None]    # (B, n, c)
+    m = ~(row_ok[:, :, :, None] & col_ok[:, :, None, :])         # (B, n, c, w+c)
+    m = m[:, None]                                               # (B, 1, n, c, w+c)
+
+    s = jnp.where(m, jnp.float32(-10000.0), scores.astype(jnp.float32))
+    attn = jax.nn.softmax(s, axis=-1)
+    attn = jnp.where(m, 0.0, attn)
+    attn = dropout(dropout_key, attn, dropout_rate, training)
+    ctx = jnp.einsum(
+        "bhnqk,bhnkd->bhnqd", attn.astype(compute_dtype), vwin,
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+    ctx = jnp.transpose(ctx.reshape(b, n_heads, tp, d_head), (0, 2, 1, 3))
+    ctx = ctx[:, :t].reshape(b, t, d)
+    out = linear(p["linear_out"], ctx, compute_dtype)
+    return out, scores

@@ -127,6 +127,7 @@ def apply_offline(
     constants: FrontendConstants | None = None,
     rng=None,
     training: bool = False,
+    blocked_attention: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict[str, Params]]:
     """Full-sequence forward (training path).
 
@@ -154,6 +155,7 @@ def apply_offline(
     encoded, out_len, new_stats = encoder_offline(
         variables["params"]["encoder"], variables["batch_stats"], config.encoder,
         feats, feat_lens, dtype, rng=rng, training=training,
+        blocked_attention=blocked_attention,
     )
     logprobs = _head(variables["params"]["head"], encoded)
     return logprobs, out_len, new_stats

@@ -51,6 +51,11 @@ class TrainerConfig:
     # "full" recomputes everything.  Measured trade-offs in
     # docs/performance.md "Training throughput".
     remat: str | None = None
+    # Chunk-blocked offline attention (layers.mhsa_blocked): O(T·window)
+    # score traffic instead of masked (T, T) — 1.25-1.3× the train step at
+    # 10 s clips, more at longer T (docs/performance.md).  Off = the
+    # reference-shaped full-mask path.
+    blocked_attention: bool = True
     seed: int = 0
 
 
@@ -156,6 +161,8 @@ class Trainer:
         mesh = self.mesh
         b_sh = batch_sharding(mesh)
 
+        blocked = self.config.blocked_attention
+
         def forward(params, batch_stats, rng, input_values, input_lengths):
             return apply_offline(
                 {"params": params, "batch_stats": batch_stats},
@@ -164,6 +171,7 @@ class Trainer:
                 input_lengths,
                 rng=rng,
                 training=True,
+                blocked_attention=blocked,
             )
 
         if self.config.remat is not None:
