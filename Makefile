@@ -1,11 +1,11 @@
 .PHONY: test test-fast lint bench serve
 
-# Full suite (incl. full-71M-model jit compiles + golden parity): ~15 min.
+# Full suite (incl. full-71M-model jit compiles + golden parity): ~25 min.
 test:
 	python -m pytest tests/ -q
 
 # Inner loop: heavy compiles / e2e / golden-parity tests are marked `slow`.
-# Measured ~3 min on the dev host (143 tests).
+# Measured ~7 min on the dev host (161 tests).
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
