@@ -18,6 +18,29 @@ def cfg():
     return ToneConfig(compute_dtype="float32")
 
 
+def test_offline_forward_matches_chunk_scan_tiny():
+    """``use_offline_forward`` (full-sequence blocked-attention graph) and the
+    default streaming chunk scan are interchangeable: same transcripts and
+    timestamps on mixed-length utterances."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    tiny = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(2), tiny)
+    rng = np.random.default_rng(2)
+    audios = [rng.integers(-20000, 20000, n).astype(np.int32)
+              for n in (5000, 2400 * 3, 1200, 2400 * 2 + 7)]
+
+    scan = OfflineTranscriber(variables, tiny, batch_size=2).transcribe(audios)
+    full = OfflineTranscriber(variables, tiny, batch_size=2,
+                              use_offline_forward=True).transcribe(audios)
+    assert [[(p.text, p.start_time, p.end_time) for p in u] for u in scan] == \
+        [[(p.text, p.start_time, p.end_time) for p in u] for u in full]
+
+
 @pytest.fixture(scope="module")
 def variables(cfg):
     return init_model_params(jax.random.PRNGKey(0), cfg)

@@ -118,6 +118,9 @@ def main() -> None:
                       help="evaluate against ws://host:port/api/ws instead of locally")
     p_ev.add_argument("--batch-size", type=int, default=0,
                       help=">0: batched offline transcription (faster bulk eval)")
+    p_ev.add_argument("--offline-forward", action="store_true",
+                      help="full-sequence (blocked-attention) graph instead of "
+                           "the streaming chunk scan for batched eval")
     _add_model_args(p_ev)
 
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
@@ -187,7 +190,8 @@ def main() -> None:
             pipeline = _build_pipeline(args)
             transcriber = OfflineTranscriber(
                 pipeline.model.variables, pipeline.model.config,
-                decoder=pipeline.decoder, batch_size=args.batch_size)
+                decoder=pipeline.decoder, batch_size=args.batch_size,
+                use_offline_forward=args.offline_forward)
             result = evaluate_pipeline(transcriber, args.manifest, limit=args.limit)
         else:
             result = evaluate_pipeline(_build_pipeline(args), args.manifest,

@@ -35,6 +35,7 @@ class OfflineTranscriber:
     decoder: object = None  # GreedyCTCDecoder-compatible; default greedy
     batch_size: int = 16
     bucket_samples: int = 8 * 2400  # pad lengths up to multiples of this
+    use_offline_forward: bool = False  # full-sequence graph instead of the scan
 
     def __post_init__(self):
         if self.decoder is None:
@@ -47,11 +48,14 @@ class OfflineTranscriber:
             cast_params_for_inference(self.variables, self.config))
         cfg = self.config
 
-        # Bulk transcription runs the *streaming* step over chunk columns:
-        # chunk-local attention is O(T) in utterance length, while the
-        # full-sequence offline forward materializes T x T masked attention —
-        # measured ~60% slower at 60 s utterances.  Numerics are identical
-        # (the offline masks exactly simulate this chunking).
+        # Bulk transcription defaults to the *streaming* step over chunk
+        # columns: chunk-local attention is O(T) in utterance length, while
+        # the full-sequence offline forward with (T, T) masks measured ~60%
+        # slower at 60 s utterances.  ``use_offline_forward`` switches to the
+        # full-sequence graph (block-diagonal attention, also O(T) in score
+        # surface) — numerics are identical either way (the offline masks
+        # exactly simulate this chunking; tests/test_model_core.py,
+        # tests/test_encoder_blocked.py).
         from tone_tpu.core.model import apply_streaming, init_streaming_state
 
         def chunk_scan(variables, chunks):  # chunks: (B, n_chunks, chunk_samples)
@@ -67,7 +71,17 @@ class OfflineTranscriber:
             b, n, f, v = logprobs.shape
             return logprobs.reshape(b, n * f, v)
 
-        self._chunk_scan = jax.jit(chunk_scan)
+        def offline_forward(variables, chunks):
+            b, n, c = chunks.shape
+            # No lengths: padded-tail chunks are processed like the scan
+            # processes them (as real zero audio), keeping the two paths
+            # numerically interchangeable; callers slice valid frames.
+            logprobs, _, _ = apply_offline(
+                variables, cfg, chunks.reshape(b, n * c), training=False)
+            return logprobs
+
+        self._batch_forward = jax.jit(
+            offline_forward if self.use_offline_forward else chunk_scan)
         self._splitter = StreamingLogprobSplitter()
 
     def transcribe(self, audios: Sequence[np.ndarray]) -> list[list[TextPhrase]]:
@@ -92,7 +106,7 @@ class OfflineTranscriber:
             for row, a in enumerate(batch_audios):
                 audio_arr[row, :len(a)] = a
 
-            logprobs = np.asarray(self._chunk_scan(
+            logprobs = np.asarray(self._batch_forward(
                 self.variables,
                 jnp.asarray(audio_arr.reshape(len(idx), n_chunks, chunk))),
                 dtype=np.float32)
