@@ -41,6 +41,35 @@ def test_offline_forward_matches_chunk_scan_tiny():
         [[(p.text, p.start_time, p.end_time) for p in u] for u in full]
 
 
+def test_mesh_sharded_bulk_matches_single_device():
+    """Data-parallel bulk transcription over a 4-device mesh produces the
+    same transcripts as the unsharded transcriber, including a final batch
+    that needs zero-row padding to stay shard-even."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.parallel.mesh import make_mesh
+
+    tiny = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(3), tiny)
+    rng = np.random.default_rng(3)
+    audios = [rng.integers(-20000, 20000, n).astype(np.int32)
+              for n in (5000, 2400 * 3, 1200, 2400 * 2 + 7, 3100)]
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    sharded = OfflineTranscriber(variables, tiny, batch_size=4,
+                                 mesh=mesh).transcribe(audios)
+    plain = OfflineTranscriber(variables, tiny, batch_size=4).transcribe(audios)
+    assert [[(p.text, p.start_time, p.end_time) for p in u] for u in sharded] == \
+        [[(p.text, p.start_time, p.end_time) for p in u] for u in plain]
+
+    with pytest.raises(ValueError, match="multiple"):
+        OfflineTranscriber(variables, tiny, batch_size=3, mesh=mesh)
+
+
 @pytest.fixture(scope="module")
 def variables(cfg):
     return init_model_params(jax.random.PRNGKey(0), cfg)

@@ -121,6 +121,9 @@ def main() -> None:
     p_ev.add_argument("--offline-forward", action="store_true",
                       help="full-sequence (blocked-attention) graph instead of "
                            "the streaming chunk scan for batched eval")
+    p_ev.add_argument("--data-parallel", action="store_true",
+                      help="shard batched eval rows over all devices "
+                           "(batch-size must divide evenly)")
     _add_model_args(p_ev)
 
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
@@ -188,10 +191,15 @@ def main() -> None:
             from tone_tpu.offline import OfflineTranscriber
 
             pipeline = _build_pipeline(args)
+            mesh = None
+            if args.data_parallel:
+                from tone_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
             transcriber = OfflineTranscriber(
                 pipeline.model.variables, pipeline.model.config,
                 decoder=pipeline.decoder, batch_size=args.batch_size,
-                use_offline_forward=args.offline_forward)
+                use_offline_forward=args.offline_forward, mesh=mesh)
             result = evaluate_pipeline(transcriber, args.manifest, limit=args.limit)
         else:
             result = evaluate_pipeline(_build_pipeline(args), args.manifest,

@@ -36,6 +36,7 @@ class OfflineTranscriber:
     batch_size: int = 16
     bucket_samples: int = 8 * 2400  # pad lengths up to multiples of this
     use_offline_forward: bool = False  # full-sequence graph instead of the scan
+    mesh: object = None  # jax.sharding.Mesh: shard batches over its 'data' axis
 
     def __post_init__(self):
         if self.decoder is None:
@@ -44,8 +45,25 @@ class OfflineTranscriber:
             self.decoder = GreedyCTCDecoder()
         from tone_tpu.acoustic import cast_params_for_inference
 
-        self.variables = jax.device_put(
-            cast_params_for_inference(self.variables, self.config))
+        self.variables = cast_params_for_inference(self.variables, self.config)
+        if self.mesh is not None:
+            # Data-parallel bulk transcription: params replicated, utterance
+            # rows sharded over the mesh's 'data' axis (SURVEY.md §2.3 —
+            # batch parallelism on TPU meshes).  XLA's SPMD partitioner
+            # splits the whole forward with zero collectives (the graph is
+            # batch-pointwise).
+            from tone_tpu.parallel.mesh import batch_sharding, replicated
+
+            self._row_sharding = batch_sharding(self.mesh)
+            self.variables = jax.device_put(self.variables, replicated(self.mesh))
+            n_rows = self.mesh.shape["data"]
+            if self.batch_size % n_rows:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must be a multiple of the "
+                    f"mesh 'data' axis size {n_rows}")
+        else:
+            self._row_sharding = None
+            self.variables = jax.device_put(self.variables)
         cfg = self.config
 
         # Bulk transcription defaults to the *streaming* step over chunk
@@ -102,14 +120,21 @@ class OfflineTranscriber:
             # (batch, bucket) shape)
             row_chunks = [-(-len(a) // chunk) for a in batch_audios]
             n_chunks = -(-max(row_chunks) // bucket_chunks) * bucket_chunks
-            audio_arr = np.zeros((len(idx), n_chunks * chunk), np.int32)
+            n_rows = len(idx)
+            if self._row_sharding is not None:
+                # Zero-row pad to a shard-even row count (extra rows are
+                # dropped after the forward).
+                div = self.mesh.shape["data"]
+                n_rows = -(-n_rows // div) * div
+            audio_arr = np.zeros((n_rows, n_chunks * chunk), np.int32)
             for row, a in enumerate(batch_audios):
                 audio_arr[row, :len(a)] = a
 
-            logprobs = np.asarray(self._batch_forward(
-                self.variables,
-                jnp.asarray(audio_arr.reshape(len(idx), n_chunks, chunk))),
-                dtype=np.float32)
+            chunks_dev = jnp.asarray(audio_arr.reshape(n_rows, n_chunks, chunk))
+            if self._row_sharding is not None:
+                chunks_dev = jax.device_put(chunks_dev, self._row_sharding)
+            logprobs = np.asarray(self._batch_forward(self.variables, chunks_dev),
+                                  dtype=np.float32)
 
             split = []
             for row, i in enumerate(idx):
