@@ -103,58 +103,77 @@ class OfflineTranscriber:
         self._splitter = StreamingLogprobSplitter()
 
     def transcribe(self, audios: Sequence[np.ndarray]) -> list[list[TextPhrase]]:
-        """Transcribe utterances (int16-range int arrays); order preserved."""
-        cfg = self.config
-        pad = cfg.padding
-        chunk = cfg.audio_chunk_samples
-        frames = cfg.encoder.chunk_size
-        bucket_chunks = max(self.bucket_samples // chunk, 1)
+        """Transcribe utterances (int16-range int arrays); order preserved.
+
+        Two-deep software pipeline: the device forward for batch ``i+1`` is
+        dispatched (jax dispatch is async) before the host splits and decodes
+        batch ``i``, so host-side work overlaps device compute.
+        """
         order = np.argsort([len(a) for a in audios], kind="stable")
         results: list[list[TextPhrase] | None] = [None] * len(audios)
 
+        pending = None
         for start in range(0, len(order), self.batch_size):
-            idx = order[start:start + self.batch_size]
-            batch_audios = [np.pad(np.asarray(audios[i], np.int32), (pad, pad))
-                            for i in idx]
-            # rows padded to a shared, bucketed chunk count (one compile per
-            # (batch, bucket) shape)
-            row_chunks = [-(-len(a) // chunk) for a in batch_audios]
-            n_chunks = -(-max(row_chunks) // bucket_chunks) * bucket_chunks
-            n_rows = len(idx)
-            if self._row_sharding is not None:
-                # Zero-row pad to a shard-even row count (extra rows are
-                # dropped after the forward).
-                div = self.mesh.shape["data"]
-                n_rows = -(-n_rows // div) * div
-            audio_arr = np.zeros((n_rows, n_chunks * chunk), np.int32)
-            for row, a in enumerate(batch_audios):
-                audio_arr[row, :len(a)] = a
-
-            chunks_dev = jnp.asarray(audio_arr.reshape(n_rows, n_chunks, chunk))
-            if self._row_sharding is not None:
-                chunks_dev = jax.device_put(chunks_dev, self._row_sharding)
-            logprobs = np.asarray(self._batch_forward(self.variables, chunks_dev),
-                                  dtype=np.float32)
-
-            split = []
-            for row, i in enumerate(idx):
-                row_lp = logprobs[row, :row_chunks[row] * frames]
-                phrases, _ = self._splitter.forward(row_lp, None, is_last=True)
-                split.append((i, phrases))
-
-            forward_batch = getattr(self.decoder, "forward_batch", None)
-            if forward_batch is not None:
-                # Device decoder: all phrases of the batch in one call.
-                flat = [np.ascontiguousarray(p.logprobs)
-                        for _, phrases in split for p in phrases]
-                texts = iter(forward_batch(flat))
-                for i, phrases in split:
-                    results[i] = [self._to_text_phrase(p, next(texts))
-                                  for p in phrases]
-            else:
-                for i, phrases in split:
-                    results[i] = [self._to_text_phrase(p) for p in phrases]
+            launched = self._launch(order[start:start + self.batch_size], audios)
+            if pending is not None:
+                self._finish(pending, results)
+            pending = launched
+        if pending is not None:
+            self._finish(pending, results)
         return results  # type: ignore[return-value]
+
+    def _launch(self, idx, audios):
+        """Dispatch one batch's device forward; returns (idx, row_chunks,
+        device logprobs) without blocking on the result."""
+        cfg = self.config
+        pad = cfg.padding
+        chunk = cfg.audio_chunk_samples
+        bucket_chunks = max(self.bucket_samples // chunk, 1)
+        batch_audios = [np.pad(np.asarray(audios[i], np.int32), (pad, pad))
+                        for i in idx]
+        # rows padded to a shared, bucketed chunk count (one compile per
+        # (batch, bucket) shape)
+        row_chunks = [-(-len(a) // chunk) for a in batch_audios]
+        n_chunks = -(-max(row_chunks) // bucket_chunks) * bucket_chunks
+        n_rows = len(idx)
+        if self._row_sharding is not None:
+            # Zero-row pad to a shard-even row count (extra rows are
+            # dropped after the forward).
+            div = self.mesh.shape["data"]
+            n_rows = -(-n_rows // div) * div
+        audio_arr = np.zeros((n_rows, n_chunks * chunk), np.int32)
+        for row, a in enumerate(batch_audios):
+            audio_arr[row, :len(a)] = a
+
+        chunks_dev = jnp.asarray(audio_arr.reshape(n_rows, n_chunks, chunk))
+        if self._row_sharding is not None:
+            chunks_dev = jax.device_put(chunks_dev, self._row_sharding)
+        return idx, row_chunks, self._batch_forward(self.variables, chunks_dev)
+
+    def _finish(self, launched, results) -> None:
+        """Block on a launched batch's logprobs, split and decode them."""
+        idx, row_chunks, logprobs_dev = launched
+        frames = self.config.encoder.chunk_size
+        logprobs = np.asarray(logprobs_dev, dtype=np.float32)
+
+        split = []
+        for row, i in enumerate(idx):
+            row_lp = logprobs[row, :row_chunks[row] * frames]
+            phrases, _ = self._splitter.forward(row_lp, None, is_last=True)
+            split.append((i, phrases))
+
+        forward_batch = getattr(self.decoder, "forward_batch", None)
+        if forward_batch is not None:
+            # Device decoder: all phrases of the batch in one call.
+            flat = [np.ascontiguousarray(p.logprobs)
+                    for _, phrases in split for p in phrases]
+            texts = iter(forward_batch(flat))
+            for i, phrases in split:
+                results[i] = [self._to_text_phrase(p, next(texts))
+                              for p in phrases]
+        else:
+            for i, phrases in split:
+                results[i] = [self._to_text_phrase(p) for p in phrases]
 
     def forward_offline(self, audio: np.ndarray) -> list[TextPhrase]:
         """Single-utterance convenience; duck-types ``StreamingCTCPipeline``
