@@ -144,6 +144,62 @@ def test_estimate_from_text_and_heldout_likelihood():
     assert loglik(tri) > loglik(uni)
 
 
+@pytest.mark.parametrize("prune", [[0, 1], [0, 1, 1], [0, 1, 2]])
+def test_pruned_models_stay_normalized(prune):
+    """lmplz-style pruning drops rare n-grams but every surviving context's
+    distribution still sums to exactly 1 (pruned words route via backoff)."""
+    order = len(prune)
+    full = estimate_ngram_lm(CORPUS, order=order)
+    pruned = estimate_ngram_lm(CORPUS, order=order, prune=prune)
+    assert sum(len(t) for t in pruned[1:]) < sum(len(t) for t in full[1:])
+    assert len(pruned[0]) == len(full[0])  # unigrams unprunable
+    lm = ArpaLM(pruned)
+    words = _vocab(pruned)
+    for ctx in _contexts(pruned, order):
+        total = sum(10.0 ** lm.score(ctx, w) for w in words)
+        assert math.isclose(total, 1.0, abs_tol=1e-9), (ctx, total)
+
+
+def test_prune_suffix_closure_repair():
+    """A trigram kept for its many left contexts whose bigram suffix was
+    seen after only one word: the suffix must be force-kept (else the
+    stored trigram's interpolation would dangle)."""
+    corpus = []
+    for left in ("а", "б", "в", "г", "д", "е"):
+        corpus.append([left, "икс", "игрек", "зет"])
+    # ("игрек","зет") continues only from "икс" => adjusted bigram count 1,
+    # below threshold; but ("икс","игрек","зет") has raw count 6, kept.
+    tables = estimate_ngram_lm(corpus, order=3, prune=[0, 1, 1])
+    assert ("икс", "игрек", "зет") in tables[2]
+    assert ("игрек", "зет") in tables[1]  # force-kept suffix
+    lm = ArpaLM(tables)
+    words = _vocab(tables)
+    for ctx in _contexts(tables, 3):
+        total = sum(10.0 ** lm.score(ctx, w) for w in words)
+        assert math.isclose(total, 1.0, abs_tol=1e-9), (ctx, total)
+
+
+def test_prune_validation():
+    with pytest.raises(ValueError, match="non-decreasing"):
+        estimate_ngram_lm(CORPUS, order=3, prune=[0, 2, 1])
+    with pytest.raises(ValueError, match="unigrams"):
+        estimate_ngram_lm(CORPUS, order=2, prune=[1, 1])
+    with pytest.raises(ValueError, match="thresholds for order"):
+        estimate_ngram_lm(CORPUS, order=2, prune=[0, 0, 0])
+
+
+def test_perplexity():
+    from tone_tpu.decoding.estimate import perplexity
+
+    tables = estimate_ngram_lm(CORPUS, order=3)
+    lm = ArpaLM(tables)
+    train_ppl = perplexity(lm, CORPUS)
+    shuffled = perplexity(lm, [list(reversed(s)) for s in CORPUS])
+    assert 1.0 < train_ppl < shuffled  # word order matters to the model
+    with pytest.raises(ValueError, match="empty"):
+        perplexity(lm, [])
+
+
 def test_estimated_lm_drives_beam_search():
     """End to end: estimated LM biases CTC beam search toward in-domain
     words on an ambiguous logprob matrix."""

@@ -135,6 +135,11 @@ def main() -> None:
     p_lm.add_argument("--order", type=int, default=3)
     p_lm.add_argument("--binary", choices=["probing", "trie"], default="probing",
                       help="binary flavor when out is not .arpa")
+    p_lm.add_argument("--prune", type=int, nargs="+", default=None,
+                      help="per-order count thresholds (lmplz --prune)")
+    p_lm.add_argument("--ppl", type=Path, default=None,
+                      help="held-out text file: report perplexity of the "
+                           "built model")
 
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
     p_ex.add_argument("out_dir", type=Path)
@@ -227,7 +232,7 @@ def main() -> None:
         from tone_tpu.decoding.estimate import estimate_from_text, write_arpa
 
         with open(args.corpus, encoding="utf-8") as f:
-            tables = estimate_from_text(f, order=args.order)
+            tables = estimate_from_text(f, order=args.order, prune=args.prune)
         name = args.out.name
         if name.endswith(".arpa") or name.endswith(".arpa.gz"):
             write_arpa(tables, args.out)
@@ -239,8 +244,17 @@ def main() -> None:
             from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
 
             write_kenlm_binary(tables, args.out)
-        print(json.dumps({"out": str(args.out), "order": args.order,
-                          "ngrams": [len(t) for t in tables]}))
+        report = {"out": str(args.out), "order": args.order,
+                  "ngrams": [len(t) for t in tables]}
+        if args.ppl is not None:
+            from tone_tpu.decoding.estimate import perplexity
+            from tone_tpu.decoding.lm import ArpaLM
+
+            with open(args.ppl, encoding="utf-8") as f:
+                held_out = [line.split() for line in
+                            (l.strip().lower() for l in f) if line]
+            report["ppl"] = round(perplexity(ArpaLM(tables), held_out), 3)
+        print(json.dumps(report))
         return
 
     if args.command == "export":

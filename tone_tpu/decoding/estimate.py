@@ -97,13 +97,49 @@ def _discounts(counts: Counter, n: int) -> tuple[float, float, float]:
     return tuple(ds)
 
 
+def _prune(adjusted, order: int, prune: Sequence[int]):
+    """Drop n-grams with adjusted count <= prune[n] (lmplz --prune).
+
+    Thresholds must be non-decreasing with order and 0 for unigrams.
+    Suffix closure is repaired afterwards: continuation counting does NOT
+    guarantee a kept gram's suffix clears the same threshold (a gram seen
+    after many distinct words can have a suffix seen after only one), and
+    the interpolated-ARPA normalization proof needs every kept gram's
+    suffix stored — so such suffixes are force-kept.  Pruning happens
+    before estimation, so every surviving context's distribution still
+    sums to exactly 1 (pruned words route through backoff mass).
+    """
+    prune = list(prune)
+    if len(prune) > order:
+        raise ValueError(f"{len(prune)} prune thresholds for order {order}")
+    prune = [0] * (order - len(prune)) + prune
+    if prune[0] != 0:
+        raise ValueError("unigrams cannot be pruned (threshold must be 0)")
+    if any(a > b for a, b in zip(prune, prune[1:])):
+        raise ValueError(f"prune thresholds must be non-decreasing: {prune}")
+
+    kept_above: set = set()
+    for n in range(order - 1, -1, -1):
+        table = adjusted[n]
+        kept = {g: c for g, c in table.items()
+                if c > prune[n] or g in kept_above}
+        adjusted[n] = Counter(kept)
+        kept_above = {g[1:] for g in kept if len(g) > 1}
+    return adjusted
+
+
 def estimate_ngram_lm(sentences: Iterable[Sequence[str]],
-                      order: int = 3) -> Ngrams:
+                      order: int = 3,
+                      prune: Sequence[int] | None = None) -> Ngrams:
     """Estimate an interpolated modified-KN LM.
 
     Args:
         sentences: token sequences (no ``<s>``/``</s>`` — added here).
         order: highest n-gram order (≥1).
+        prune: per-order count thresholds (lmplz ``--prune`` semantics:
+            drop n-grams with adjusted count <= threshold; shorter
+            sequences left-pad with 0; must be non-decreasing; unigrams
+            unprunable).
 
     Returns:
         ARPA-style tables in the ``ArpaLM._ngrams`` layout — ``result[k]``
@@ -128,7 +164,11 @@ def estimate_ngram_lm(sentences: Iterable[Sequence[str]],
     # distribution entirely (its ARPA probability is the conventional -99;
     # its crucial role is as a *context*, via gammas[1][("<s>",)]).
     bos_unigram = adjusted[0].pop((BOS,), None)
+    # Discounts use pre-pruning count-of-counts (statistics of the corpus,
+    # not of the pruned table).
     discounts = [_discounts(adjusted[n], n + 1) for n in range(order)]
+    if prune is not None:
+        adjusted = _prune(adjusted, order, prune)
 
     n_predictable = len(adjusted[0]) + 1  # observed types + <unk>
 
@@ -202,9 +242,28 @@ def write_arpa(ngrams: Ngrams, path: str | Path) -> None:
         f.write("\n\\end\\\n")
 
 
-def estimate_from_text(lines: Iterable[str], order: int = 3) -> Ngrams:
+def estimate_from_text(lines: Iterable[str], order: int = 3,
+                       prune: Sequence[int] | None = None) -> Ngrams:
     """Estimate from raw text: one sentence per line, whitespace-tokenized,
     lowercased (the reference's label set is lowercase Cyrillic + space —
     tone/decoder.py:23)."""
     sentences = [line.split() for line in (l.strip().lower() for l in lines) if line]
-    return estimate_ngram_lm(sentences, order)
+    return estimate_ngram_lm(sentences, order, prune=prune)
+
+
+def perplexity(lm, sentences: Iterable[Sequence[str]]) -> float:
+    """Per-token perplexity of a ``LanguageModel`` over tokenized sentences.
+
+    Tokens scored: each word plus the closing ``</s>``; OOV words back off
+    to ``<unk>`` inside ``lm.score``.  10 ** (− mean log10 p).
+    """
+    total, n_tokens = 0.0, 0
+    for sent in sentences:
+        context: tuple[str, ...] = (BOS,)
+        for w in [*[str(t) for t in sent], EOS]:
+            total += lm.score(context, w)
+            context = (*context, w)[-(max(lm.order - 1, 1)):]
+            n_tokens += 1
+    if not n_tokens:
+        raise ValueError("empty evaluation corpus")
+    return 10.0 ** (-total / n_tokens)
