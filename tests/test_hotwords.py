@@ -1,0 +1,134 @@
+"""Hotword (contextual-biasing) beam search.
+
+The reference decodes via pyctcdecode, whose API supports hotword boosting
+(unused by the reference itself); this is the tone_tpu equivalent wired
+into the host beam search — aimed at the reference's weakest measured
+category, named entities (reference README.md:153).
+"""
+
+import numpy as np
+import pytest
+
+from tone_tpu.config import LABELS
+from tone_tpu.decoder import BeamSearchCTCDecoder, build_decoder
+from tone_tpu.decoding.beam import StreamingBeamSearch, ctc_beam_search
+from tone_tpu.decoding.hotwords import HotwordScorer
+
+BLANK = len(LABELS)
+
+
+def _logprobs(spec, T=None, gap=-9.0):
+    """Build (T, V) logprobs: spec = list of {char: logit} per frame."""
+    T = T or len(spec)
+    logits = np.full((T, len(LABELS) + 1), gap, np.float64)
+    for t, frame in enumerate(spec):
+        for ch, v in frame.items():
+            tok = BLANK if ch == "_" else LABELS.index(ch)
+            logits[t, tok] = v
+    for t in range(len(spec), T):
+        logits[t, BLANK] = 0.0
+    return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+
+def _ambiguous(final_a, final_b, margin=0.05):
+    """'ми' + ambiguous third char slightly favoring final_b."""
+    return _logprobs([
+        {"м": 0.0}, {"и": 0.0},
+        {final_a: -0.5 - margin, final_b: -0.5},
+        {"_": 0.0}, {"_": 0.0},
+    ])
+
+
+def test_hotword_flips_ambiguous_decode():
+    lp = _ambiguous("р", "г")
+    assert ctc_beam_search(lp, LABELS, beam_width=16) == "миг"
+    hw = HotwordScorer(["мир"], weight=3.0)
+    assert ctc_beam_search(lp, LABELS, beam_width=16, hotwords=hw) == "мир"
+
+
+def test_boost_retracts_on_mismatch():
+    """A hotword prefix that completes as a different word keeps the
+    baseline result: tentative boost is retracted at the word boundary."""
+    # Audio says clearly "мигание" — "мираж" shares only the "ми" prefix.
+    spec = [{c: 0.0} for c in "мигание"]
+    lp = _logprobs(spec, T=10)
+    base = ctc_beam_search(lp, LABELS, beam_width=32)
+    hw = HotwordScorer(["мираж"], weight=5.0)
+    boosted = ctc_beam_search(lp, LABELS, beam_width=32, hotwords=hw)
+    assert boosted == base == "мигание"
+
+
+def test_phrase_hotword_spans_word_boundary():
+    """Multi-word phrase: the first word's match carries across the space
+    and biases the second word."""
+    spec = [{c: 0.0} for c in "сан "]
+    # Second word ambiguous between "дата" and "д?та" variants; phrase
+    # hotword "сан дата" must pull the full phrase through.
+    spec += [{"д": 0.0}, {"а": -0.5, "о": -0.45}, {"т": 0.0}, {"а": 0.0}]
+    lp = _logprobs(spec, T=12)
+    assert ctc_beam_search(lp, LABELS, beam_width=16) == "сан дота"
+    hw = HotwordScorer(["сан дата"], weight=3.0)
+    assert ctc_beam_search(lp, LABELS, beam_width=16, hotwords=hw) == "сан дата"
+    # A phrase whose first word doesn't match gives no cross-boundary boost.
+    hw2 = HotwordScorer(["зал дата"], weight=3.0)
+    assert ctc_beam_search(lp, LABELS, beam_width=16, hotwords=hw2) == "сан дота"
+
+
+def test_streaming_equals_batch_with_hotwords():
+    """Chunked advance == one batch pass (the carried-state invariant holds
+    with the hotword automaton on the beams)."""
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0.0, 2.0, (30, len(LABELS) + 1))
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    hw = HotwordScorer(["привет", "сан дата"], weight=2.0)
+
+    batch = ctc_beam_search(lp, LABELS, beam_width=12, hotwords=hw)
+    search = StreamingBeamSearch(LABELS, beam_width=12, hotwords=hw)
+    for start in (0, 7, 19):
+        search.advance(lp[start:start + (7 if start == 0 else 12)])
+    assert search.result() == batch
+
+
+def test_interim_prefix_credit():
+    """Mid-stream, an in-progress hotword prefix is already boosted — the
+    property that makes biasing effective for interim transcripts."""
+    spec = [{"м": 0.0}, {"и": -0.5, "н": -0.45}]
+    lp = _logprobs(spec, T=2)
+    search = StreamingBeamSearch(LABELS, beam_width=8,
+                                 hotwords=HotwordScorer(["мир"], weight=3.0))
+    search.advance(lp)
+    assert search.result() == "ми"  # "мн..." would win without the boost
+
+
+def test_facade_and_cli_dispatch():
+    lp = _ambiguous("р", "г")
+    dec = BeamSearchCTCDecoder(hotwords=["мир"], hotword_weight=3.0,
+                               beam_width=16)
+    assert not dec._use_native  # hotwords force the Python search
+    assert dec.forward(lp.astype(np.float32)) == "мир"
+
+    dec2 = build_decoder("beam", hotwords=["мир"], hotword_weight=3.0,
+                         beam_width=16)
+    assert dec2.forward(lp.astype(np.float32)) == "мир"
+
+    with pytest.raises(ValueError, match="hotwords"):
+        build_decoder("greedy", hotwords=["мир"])
+    with pytest.raises(ValueError, match="hotwords"):
+        build_decoder("device-beam", hotwords=["мир"])
+    with pytest.raises(ValueError, match="no hotwords"):
+        HotwordScorer([])
+
+
+def test_scorer_restart_after_mismatch():
+    """Falling off the trie retries the failing char from the root."""
+    hw = HotwordScorer(["мир"], weight=1.0)
+    state, d1 = hw.step((0, 0.0), "м")
+    assert d1 == 1.0
+    state, d2 = hw.step(state, "я")  # off-trie: retract, no restart ("я" != "м")
+    assert d2 == -1.0 and state == (0, 0.0)
+    state, d3 = hw.step(state, "м")  # matches from root again
+    assert d3 == 1.0
+    # restart on a char that IS a root child: retract + re-enter in one step
+    state2, _ = hw.step((0, 0.0), "м")
+    state2, d4 = hw.step(state2, "м")  # "мм": off path, but "м" restarts
+    assert d4 == -1.0 + 1.0

@@ -36,6 +36,10 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="with --decoder device-beam: fuse the LM into the "
                         "on-TPU search (full shallow fusion) instead of "
                         "n-best rescoring")
+    p.add_argument("--hotwords", type=str, default=None,
+                   help="with --decoder beam: comma-separated words/phrases "
+                        "(or @file, one per line) to bias the search toward")
+    p.add_argument("--hotword-weight", type=float, default=10.0)
     p.add_argument("--chunk-ms", type=int, default=300)
 
 
@@ -61,9 +65,17 @@ def _build_pipeline(args):
         model = StreamingCTCModel(init_model_params(jax.random.PRNGKey(0), config), config)
     from tone_tpu.decoder import build_decoder
 
+    hotwords = None
+    if getattr(args, "hotwords", None):
+        if args.hotwords.startswith("@"):
+            with open(args.hotwords[1:], encoding="utf-8") as f:
+                hotwords = [line.strip() for line in f if line.strip()]
+        else:
+            hotwords = [h.strip() for h in args.hotwords.split(",") if h.strip()]
     try:
         decoder = build_decoder(args.decoder, lm=args.lm,
-                                fused_lm=args.fused_lm)
+                                fused_lm=args.fused_lm, hotwords=hotwords,
+                                hotword_weight=args.hotword_weight)
     except ValueError as e:
         raise SystemExit(str(e)) from None
     return StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)

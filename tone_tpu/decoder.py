@@ -21,6 +21,8 @@ import numpy as np
 from tone_tpu.config import LABELS
 
 if TYPE_CHECKING:
+    from typing import Sequence
+
     import numpy.typing as npt
 
     from tone_tpu.decoding.lm import LanguageModel
@@ -108,19 +110,27 @@ class BeamSearchCTCDecoder:
 
     def __init__(self, lm: "LanguageModel | None" = None, *,
                  alpha: float = ALPHA, beta: float = BETA,
-                 beam_width: int = BEAM_WIDTH, native_lm=None) -> None:
+                 beam_width: int = BEAM_WIDTH, native_lm=None,
+                 hotwords=None, hotword_weight: float = 10.0) -> None:
         self._lm = lm
         self._native_lm = native_lm
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
+        self._hotwords = None
+        if hotwords:
+            from tone_tpu.decoding.hotwords import HotwordScorer
+
+            self._hotwords = (hotwords if isinstance(hotwords, HotwordScorer)
+                              else HotwordScorer(hotwords, hotword_weight))
         # Use the C++ decoder when buildable; it is verified equivalent to
         # the Python implementation (tests/test_native_decoder.py) and ~10x
-        # faster.  A python LanguageModel without a native twin forces the
-        # Python path.
+        # faster.  A python LanguageModel without a native twin, or hotword
+        # biasing (Python-only), forces the Python path.
         from tone_tpu.decoding.native.beamsearch import native_available
 
-        self._use_native = native_available() and (lm is None or native_lm is not None)
+        self._use_native = (native_available() and self._hotwords is None
+                            and (lm is None or native_lm is not None))
 
     @classmethod
     def from_local(cls, model_path: str | Path) -> "BeamSearchCTCDecoder":
@@ -167,6 +177,7 @@ class BeamSearchCTCDecoder:
         return ctc_beam_search(
             logprobs.astype(np.float64), LABELS, self._lm,
             alpha=self.alpha, beta=self.beta, beam_width=self.beam_width,
+            hotwords=self._hotwords,
         )
 
     def streaming(self):
@@ -190,7 +201,7 @@ class BeamSearchCTCDecoder:
 
         return StreamingBeamSearch(
             LABELS, self._lm, alpha=self.alpha, beta=self.beta,
-            beam_width=self.beam_width)
+            beam_width=self.beam_width, hotwords=self._hotwords)
 
 
 class DeviceBeamSearchCTCDecoder:
@@ -346,7 +357,9 @@ class DeviceBeamSearchCTCDecoder:
 
 
 def build_decoder(kind: str, *, lm: "str | Path | None" = None,
-                  fused_lm: bool = False, beam_width: int | None = None):
+                  fused_lm: bool = False, beam_width: int | None = None,
+                  hotwords: "Sequence[str] | None" = None,
+                  hotword_weight: float = 10.0):
     """CLI-facing decoder factory shared by ``python -m tone_tpu`` and the
     standalone server (``tone_tpu/runtime/server.py``) so their dispatch
     and validation cannot drift.
@@ -355,8 +368,11 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
     to an ARPA text LM or any of the six KenLM binary formats.  ``fused_lm``
     selects full device-side shallow fusion (device-beam only; requires
     ``lm``).  ``beam_width`` overrides the decoder's default width.
-    Raises ``ValueError`` on inconsistent flag combinations.
+    ``hotwords`` (host ``beam`` only) biases the search toward the given
+    words/phrases.  Raises ``ValueError`` on inconsistent flag combinations.
     """
+    if hotwords and kind != "beam":
+        raise ValueError("--hotwords requires --decoder beam (host search)")
     if kind == "device-beam":
         if fused_lm and not lm:
             raise ValueError("--fused-lm requires --lm (an ARPA or KenLM "
@@ -373,6 +389,11 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
                    else BeamSearchCTCDecoder())
         if beam_width:
             decoder.beam_width = beam_width
+        if hotwords:
+            from tone_tpu.decoding.hotwords import HotwordScorer
+
+            decoder._hotwords = HotwordScorer(hotwords, hotword_weight)
+            decoder._use_native = False
         return decoder
     if kind == "greedy":
         return GreedyCTCDecoder()

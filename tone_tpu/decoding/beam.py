@@ -33,6 +33,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 
 if TYPE_CHECKING:
+    from tone_tpu.decoding.hotwords import HotwordScorer
     from tone_tpu.decoding.lm import LanguageModel
 
 LOG10_TO_LN = math.log(10.0)
@@ -48,8 +49,9 @@ class _Beam:
     last_char: str  # last emitted (non-blank) char, for repeat-collapse
     p_b: float  # log prob of this prefix ending in blank
     p_nb: float  # log prob of this prefix ending in non-blank
-    lm_score: float  # accumulated LM contribution (natural log)
+    lm_score: float  # accumulated LM + hotword contribution (natural log)
     context: tuple[str, ...]  # word history for the LM
+    hw: tuple = (0, 0.0)  # hotword automaton state (pure fn of text+partial)
 
     def total(self) -> float:
         return np.logaddexp(self.p_b, self.p_nb) + self.lm_score
@@ -84,6 +86,7 @@ class StreamingBeamSearch:
         beam_width: int = 200,
         token_min_logp: float = -5.0,
         blank_id: int | None = None,
+        hotwords: "HotwordScorer | None" = None,
     ) -> None:
         self.labels = labels
         self.lm = lm
@@ -92,6 +95,7 @@ class StreamingBeamSearch:
         self.beam_width = beam_width
         self.token_min_logp = token_min_logp
         self.blank_id = blank_id
+        self.hotwords = hotwords
         self.reset()
 
     def reset(self) -> None:
@@ -123,15 +127,19 @@ class StreamingBeamSearch:
 
             next_beams: dict[tuple[str, str, str], _Beam] = {}
 
-            def merge(key, text, partial, last_char, p_b, p_nb, lm_score, context):
+            def merge(key, text, partial, last_char, p_b, p_nb, lm_score, context,
+                      hw=(0, 0.0)):
                 b = next_beams.get(key)
                 if b is None:
                     next_beams[key] = _Beam(text, partial, last_char, p_b, p_nb,
-                                            lm_score, context)
+                                            lm_score, context, hw)
                 else:
+                    # hw/lm_score/context are pure functions of the key's
+                    # (text, partial), so merged sources always agree on them.
                     b.p_b = _logsumexp2(b.p_b, p_b)
                     b.p_nb = _logsumexp2(b.p_nb, p_nb)
 
+            hotwords = self.hotwords
             for beam in beams.values():
                 p_total = _logsumexp2(beam.p_b, beam.p_nb)
                 for tok in tokens:
@@ -139,14 +147,16 @@ class StreamingBeamSearch:
                     if tok == blank_id:
                         merge((beam.text, beam.partial, beam.last_char),
                               beam.text, beam.partial, beam.last_char,
-                              p_total + p, NEG_INF, beam.lm_score, beam.context)
+                              p_total + p, NEG_INF, beam.lm_score, beam.context,
+                              beam.hw)
                         continue
                     char = labels[tok]
                     if char == beam.last_char:
                         # Same char: extends the run (no new symbol) from p_nb...
                         merge((beam.text, beam.partial, beam.last_char),
                               beam.text, beam.partial, beam.last_char,
-                              NEG_INF, beam.p_nb + p, beam.lm_score, beam.context)
+                              NEG_INF, beam.p_nb + p, beam.lm_score, beam.context,
+                              beam.hw)
                         # ...or a new symbol after an explicit blank.
                         src = beam.p_b
                     else:
@@ -160,15 +170,25 @@ class StreamingBeamSearch:
                         new_text = beam.text + word + " " if word else beam.text
                         new_ctx = (beam.context + (word,)
                                    if (lm is not None and word) else beam.context)
+                        hw, hw_delta = beam.hw, 0.0
+                        if hotwords is not None and word:
+                            # Collapsed (empty-word) spaces emit no text, so
+                            # they don't step the automaton either.
+                            hw, hw_delta = hotwords.step(beam.hw, " ")
                         merge((new_text, "", " "),
                               new_text, "", " ",
                               NEG_INF, src + p,
-                              beam.lm_score + self._lm_word_score(beam.context, word),
-                              new_ctx)
+                              beam.lm_score + hw_delta
+                              + self._lm_word_score(beam.context, word),
+                              new_ctx, hw)
                     else:
+                        hw, hw_delta = beam.hw, 0.0
+                        if hotwords is not None:
+                            hw, hw_delta = hotwords.step(beam.hw, char)
                         merge((beam.text, beam.partial + char, char),
                               beam.text, beam.partial + char, char,
-                              NEG_INF, src + p, beam.lm_score, beam.context)
+                              NEG_INF, src + p, beam.lm_score + hw_delta,
+                              beam.context, hw)
 
             # Deterministic prune: total desc, then prefix text asc as the tie
             # break (insertion-order-independent; matches the native decoder).
@@ -201,6 +221,7 @@ def ctc_beam_search(
     beam_width: int = 200,
     token_min_logp: float = -5.0,
     blank_id: int | None = None,
+    hotwords: "HotwordScorer | None" = None,
 ) -> str:
     """Decode (T, V) logprobs into text.
 
@@ -221,6 +242,6 @@ def ctc_beam_search(
     """
     search = StreamingBeamSearch(
         labels, lm, alpha=alpha, beta=beta, beam_width=beam_width,
-        token_min_logp=token_min_logp, blank_id=blank_id)
+        token_min_logp=token_min_logp, blank_id=blank_id, hotwords=hotwords)
     search.advance(logprobs)
     return search.result()
