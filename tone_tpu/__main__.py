@@ -65,16 +65,13 @@ def _build_pipeline(args):
         model = StreamingCTCModel(init_model_params(jax.random.PRNGKey(0), config), config)
     from tone_tpu.decoder import build_decoder
 
-    hotwords = None
-    if getattr(args, "hotwords", None):
-        if args.hotwords.startswith("@"):
-            with open(args.hotwords[1:], encoding="utf-8") as f:
-                hotwords = [line.strip() for line in f if line.strip()]
-        else:
-            hotwords = [h.strip() for h in args.hotwords.split(",") if h.strip()]
+    from tone_tpu.decoder import parse_hotwords
+
     try:
         decoder = build_decoder(args.decoder, lm=args.lm,
-                                fused_lm=args.fused_lm, hotwords=hotwords,
+                                fused_lm=args.fused_lm,
+                                hotwords=parse_hotwords(
+                                    getattr(args, "hotwords", None)),
                                 hotword_weight=args.hotword_weight)
     except ValueError as e:
         raise SystemExit(str(e)) from None

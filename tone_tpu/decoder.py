@@ -356,6 +356,16 @@ class DeviceBeamSearchCTCDecoder:
         return out
 
 
+def parse_hotwords(spec: "str | None") -> "list[str] | None":
+    """CLI hotword spec: comma-separated list, or ``@file`` (one per line)."""
+    if not spec:
+        return None
+    if spec.startswith("@"):
+        with open(spec[1:], encoding="utf-8") as f:
+            return [line.strip() for line in f if line.strip()]
+    return [h.strip() for h in spec.split(",") if h.strip()]
+
+
 def build_decoder(kind: str, *, lm: "str | Path | None" = None,
                   fused_lm: bool = False, beam_width: int | None = None,
                   hotwords: "Sequence[str] | None" = None,

@@ -256,6 +256,11 @@ def main() -> None:
                         help="with --decoder device-beam: fuse the LM into "
                              "the device search (full shallow fusion) instead "
                              "of host n-best rescoring")
+    parser.add_argument("--hotwords", type=str, default=None,
+                        help="with --decoder beam: comma-separated "
+                             "words/phrases (or @file, one per line) to bias "
+                             "finals AND interim beam decoding toward")
+    parser.add_argument("--hotword-weight", type=float, default=10.0)
     parser.add_argument("--interim", action="store_true",
                         help="stream partial (in-progress phrase) transcripts "
                              "as {'event': 'interim'} messages")
@@ -297,10 +302,14 @@ def main() -> None:
 
     from tone_tpu.decoder import build_decoder
 
+    from tone_tpu.decoder import parse_hotwords
+
     try:
         decoder = build_decoder(args.decoder, lm=args.lm,
                                 fused_lm=args.fused_lm,
-                                beam_width=args.beam_width)
+                                beam_width=args.beam_width,
+                                hotwords=parse_hotwords(args.hotwords),
+                                hotword_weight=args.hotword_weight)
     except ValueError as e:
         raise SystemExit(str(e)) from None
 
