@@ -104,7 +104,6 @@ def test_facade_and_cli_dispatch():
     lp = _ambiguous("р", "г")
     dec = BeamSearchCTCDecoder(hotwords=["мир"], hotword_weight=3.0,
                                beam_width=16)
-    assert not dec._use_native  # hotwords force the Python search
     assert dec.forward(lp.astype(np.float32)) == "мир"
 
     dec2 = build_decoder("beam", hotwords=["мир"], hotword_weight=3.0,
@@ -117,6 +116,44 @@ def test_facade_and_cli_dispatch():
         build_decoder("device-beam", hotwords=["мир"])
     with pytest.raises(ValueError, match="no hotwords"):
         HotwordScorer([])
+    with pytest.raises(ValueError, match="label set"):
+        BeamSearchCTCDecoder(hotwords=["labs"])  # latin chars not in LABELS
+
+
+def test_native_equals_python_with_hotwords():
+    """The C++ twin implements the identical automaton: random logprobs,
+    random hotword lists — decodes must match the Python search exactly."""
+    from tone_tpu.decoding.native.beamsearch import (
+        NativeHotwords, NativeStreamingBeam, ctc_beam_search_native,
+        native_available)
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+
+    words = ["мир", "сан дата", "привет", "дом", "та", "а"]
+    rng = np.random.default_rng(1)
+    for trial in range(8):
+        logits = rng.normal(0.0, 2.5, (40, len(LABELS) + 1))
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
+        picks = list(rng.choice(len(words), size=rng.integers(1, 4),
+                                replace=False))
+        phrases = [words[i] for i in picks]
+        weight = float(rng.uniform(0.5, 4.0))
+
+        py = ctc_beam_search(lp, LABELS, beam_width=16,
+                             hotwords=HotwordScorer(phrases, weight))
+        nat = ctc_beam_search_native(
+            lp.astype(np.float32), LABELS, beam_width=16,
+            hotwords=NativeHotwords(LABELS, phrases, weight))
+        assert nat == py, (trial, phrases, weight)
+
+        # carried-state twin too
+        stream = NativeStreamingBeam(LABELS, beam_width=16,
+                                     hotwords=NativeHotwords(
+                                         LABELS, phrases, weight))
+        stream.advance(lp[:17].astype(np.float32))
+        stream.advance(lp[17:].astype(np.float32))
+        assert stream.result() == py
 
 
 def test_scorer_restart_after_mismatch():

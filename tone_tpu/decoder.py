@@ -117,23 +117,39 @@ class BeamSearchCTCDecoder:
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
+        # Use the C++ decoder when buildable; it is verified equivalent to
+        # the Python implementation (tests/test_native_decoder.py,
+        # tests/test_hotwords.py) and ~10x faster.  A python LanguageModel
+        # without a native twin, or a pre-built Python HotwordScorer (whose
+        # phrase list the native side can't see), forces the Python path.
+        from tone_tpu.decoding.native.beamsearch import native_available
+
+        native_ok = native_available() and (lm is None or native_lm is not None)
         self._hotwords = None
+        self._native_hotwords = None
         if hotwords:
             from tone_tpu.decoding.hotwords import HotwordScorer
 
-            self._hotwords = (hotwords if isinstance(hotwords, HotwordScorer)
-                              else HotwordScorer(hotwords, hotword_weight))
-        # Use the C++ decoder when buildable; it is verified equivalent to
-        # the Python implementation (tests/test_native_decoder.py) and ~10x
-        # faster.  A python LanguageModel without a native twin, or hotword
-        # biasing (Python-only), forces the Python path.
-        from tone_tpu.decoding.native.beamsearch import native_available
+            if isinstance(hotwords, HotwordScorer):
+                self._hotwords = hotwords
+                native_ok = False
+            else:
+                phrases = [str(h) for h in hotwords]
+                bad = {c for h in phrases for c in h.lower() if c not in LABELS}
+                if bad:
+                    raise ValueError(
+                        f"hotword characters outside the label set: {sorted(bad)}")
+                self._hotwords = HotwordScorer(phrases, hotword_weight)
+                if native_ok:
+                    from tone_tpu.decoding.native.beamsearch import NativeHotwords
 
-        self._use_native = (native_available() and self._hotwords is None
-                            and (lm is None or native_lm is not None))
+                    self._native_hotwords = NativeHotwords(
+                        LABELS, phrases, hotword_weight)
+        self._use_native = native_ok
 
     @classmethod
-    def from_local(cls, model_path: str | Path) -> "BeamSearchCTCDecoder":
+    def from_local(cls, model_path: str | Path, *, hotwords=None,
+                   hotword_weight: float = 10.0) -> "BeamSearchCTCDecoder":
         """Initialize from a local LM file: ARPA text (optionally .gz) or a
         KenLM binary — the reference's published ``kenlm.bin`` artifact
         (tone/decoder.py:84-95) loads directly."""
@@ -149,7 +165,8 @@ class BeamSearchCTCDecoder:
                 # Conversion/scorer failure of any kind degrades to the
                 # pure-Python LM instead of failing decoder construction.
                 native_lm = None
-        return cls(load_lm(model_path), native_lm=native_lm)
+        return cls(load_lm(model_path), native_lm=native_lm,
+                   hotwords=hotwords, hotword_weight=hotword_weight)
 
     @classmethod
     def from_hugging_face(cls) -> "BeamSearchCTCDecoder":
@@ -171,6 +188,7 @@ class BeamSearchCTCDecoder:
             return ctc_beam_search_native(
                 logprobs, LABELS, self._native_lm,
                 alpha=self.alpha, beta=self.beta, beam_width=self.beam_width,
+                hotwords=self._native_hotwords,
             )
         from tone_tpu.decoding.beam import ctc_beam_search
 
@@ -196,7 +214,7 @@ class BeamSearchCTCDecoder:
 
             return NativeStreamingBeam(
                 LABELS, self._native_lm, alpha=self.alpha, beta=self.beta,
-                beam_width=self.beam_width)
+                beam_width=self.beam_width, hotwords=self._native_hotwords)
         from tone_tpu.decoding.beam import StreamingBeamSearch
 
         return StreamingBeamSearch(
@@ -395,15 +413,13 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
     if fused_lm:
         raise ValueError("--fused-lm only applies to --decoder device-beam")
     if kind == "beam":
-        decoder = (BeamSearchCTCDecoder.from_local(lm) if lm
-                   else BeamSearchCTCDecoder())
+        decoder = (BeamSearchCTCDecoder.from_local(
+                       lm, hotwords=hotwords, hotword_weight=hotword_weight)
+                   if lm else
+                   BeamSearchCTCDecoder(hotwords=hotwords,
+                                        hotword_weight=hotword_weight))
         if beam_width:
             decoder.beam_width = beam_width
-        if hotwords:
-            from tone_tpu.decoding.hotwords import HotwordScorer
-
-            decoder._hotwords = HotwordScorer(hotwords, hotword_weight)
-            decoder._use_native = False
         return decoder
     if kind == "greedy":
         return GreedyCTCDecoder()

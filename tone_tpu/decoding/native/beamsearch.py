@@ -69,13 +69,17 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_double, ctypes.c_double, ctypes.c_int,
-                ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_double, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
             ]
+            lib.tone_hotwords_create.restype = ctypes.c_void_p
+            lib.tone_hotwords_create.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_double]
+            lib.tone_hotwords_free.argtypes = [ctypes.c_void_p]
             lib.tone_beam_create.restype = ctypes.c_void_p
             lib.tone_beam_create.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_double, ctypes.c_double, ctypes.c_int,
-                ctypes.c_double,
+                ctypes.c_double, ctypes.c_void_p,
             ]
             lib.tone_beam_advance.restype = ctypes.c_int
             lib.tone_beam_advance.argtypes = [
@@ -135,6 +139,33 @@ class NativeLM:
 NativeArpaLM = NativeLM  # backwards-compatible name
 
 
+class NativeHotwords:
+    """Handle to a C++-side hotword automaton (twin of
+    tone_tpu.decoding.hotwords.HotwordScorer) built over a label set."""
+
+    def __init__(self, labels: str, phrases, weight: float = 10.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native decoder unavailable (no C++ toolchain)")
+        self._lib = lib
+        normalized = sorted({" ".join(str(p).lower().split())
+                             for p in phrases} - {""})
+        if not normalized:
+            raise ValueError("no hotwords given")
+        self._handle = lib.tone_hotwords_create(
+            "\n".join(labels).encode("utf-8"), len(labels),
+            "\n".join(normalized).encode("utf-8"), weight)
+        if not self._handle:
+            raise ValueError(
+                "hotword phrase uses characters outside the label set")
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.tone_hotwords_free(handle)
+            self._handle = None
+
+
 class NativeStreamingBeam:
     """Carried-state CTC prefix beam search (native twin of
     tone_tpu.decoding.beam.StreamingBeamSearch): feed logprob frames as they
@@ -143,17 +174,20 @@ class NativeStreamingBeam:
 
     def __init__(self, labels: str, lm: "NativeLM | None" = None, *,
                  alpha: float = 0.4, beta: float = 0.9,
-                 beam_width: int = 200, token_min_logp: float = -5.0):
+                 beam_width: int = 200, token_min_logp: float = -5.0,
+                 hotwords: "NativeHotwords | None" = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native decoder unavailable (no C++ toolchain)")
         self._lib = lib
         self._lm = lm  # keep the LM handle alive
+        self._hotwords = hotwords  # keep the automaton handle alive
         self._labels = labels
         handle = lib.tone_beam_create(
             "\n".join(labels).encode("utf-8"), len(labels),
             lm._handle if lm is not None else None,
-            alpha, beta, beam_width, token_min_logp)
+            alpha, beta, beam_width, token_min_logp,
+            hotwords._handle if hotwords is not None else None)
         if not handle:
             raise RuntimeError("failed to create native streaming decoder")
         self._handle = handle
@@ -195,6 +229,7 @@ def ctc_beam_search_native(
     beta: float = 0.9,
     beam_width: int = 200,
     token_min_logp: float = -5.0,
+    hotwords: "NativeHotwords | None" = None,
 ) -> str:
     """Native decode of (T, V) logprobs; same semantics as
     tone_tpu.decoding.beam.ctc_beam_search."""
@@ -209,7 +244,8 @@ def ctc_beam_search_native(
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t_max, n_classes,
         labels_joined, len(labels),
         lm._handle if lm is not None else None,
-        alpha, beta, beam_width, token_min_logp, out, len(out))
+        alpha, beta, beam_width, token_min_logp,
+        hotwords._handle if hotwords is not None else None, out, len(out))
     if n < 0:
         raise RuntimeError("native beam search failed")
     return out.value.decode("utf-8")

@@ -393,9 +393,11 @@ struct Beam {
                               // duplicate spaces never enter seq)
   double p_b = kNegInf;       // prefix ends in blank
   double p_nb = kNegInf;      // prefix ends in non-blank
-  double lm_score = 0.0;      // accumulated LM contribution (natural log)
+  double lm_score = 0.0;      // accumulated LM + hotword contribution (ln)
   std::vector<int32_t> ctx;   // word-id history for the LM (-1 = OOV)
   int word_start = 0;         // index in seq where the in-progress word begins
+  int32_t hw_node = 0;        // hotword automaton node
+  double hw_tent = 0.0;       // retractable hotword boost
 
   double total() const { return logaddexp(p_b, p_nb) + lm_score; }
 };
@@ -456,6 +458,96 @@ std::string word_of(const Decoder& dec, const std::vector<int32_t>& seq,
   return w;
 }
 
+// ---------------------------------------------------------------------------
+// Hotword (contextual-biasing) automaton — the native twin of
+// tone_tpu/decoding/hotwords.py.  A character trie over label ids; each beam
+// carries (node, tentative boost); matching chars add `weight` tentatively,
+// a word boundary on a terminal node commits, falling off retracts (with a
+// single-step root restart).
+// ---------------------------------------------------------------------------
+
+struct Hotwords {
+  double weight = 10.0;
+  int space_id = -1;
+  std::vector<std::unordered_map<int32_t, int32_t>> children;
+  std::vector<uint8_t> terminal;
+
+  // phrases_joined: '\n'-separated UTF-8 phrases. Every code point must be a
+  // label (single-code-point labels, as parse_labels produces).
+  bool build(const Decoder& dec, const char* phrases_joined) {
+    space_id = dec.space_id;
+    children.assign(1, {});
+    terminal.assign(1, 0);
+    std::unordered_map<std::string, int32_t> label_id;
+    for (size_t i = 0; i < dec.labels.size(); ++i)
+      label_id[dec.labels[i]] = (int32_t)i;
+    std::string all(phrases_joined);
+    size_t pos = 0;
+    bool any = false;
+    while (pos < all.size()) {
+      size_t nl = all.find('\n', pos);
+      std::string phrase = all.substr(
+          pos, nl == std::string::npos ? std::string::npos : nl - pos);
+      pos = nl == std::string::npos ? all.size() : nl + 1;
+      if (phrase.empty()) continue;
+      int32_t node = 0;
+      size_t i = 0;
+      while (i < phrase.size()) {
+        size_t j = i + 1;  // UTF-8 code point: continuation bytes are 10xxxxxx
+        while (j < phrase.size() && (phrase[j] & 0xC0) == 0x80) ++j;
+        auto it = label_id.find(phrase.substr(i, j - i));
+        if (it == label_id.end()) return false;  // char outside the label set
+        auto child = children[node].find(it->second);
+        if (child == children[node].end()) {
+          int32_t nxt = (int32_t)children.size();
+          children[node][it->second] = nxt;
+          children.emplace_back();
+          terminal.push_back(0);
+          node = nxt;
+        } else {
+          node = child->second;
+        }
+        i = j;
+      }
+      terminal[node] = 1;
+      any = true;
+    }
+    return any;
+  }
+
+  // Advance on one emitted label; updates (node, tent) in place and returns
+  // the score delta (mirrors hotwords.py HotwordScorer.step exactly).
+  double step(int32_t& node, double& tent, int32_t label) const {
+    auto it = children[node].find(label);
+    if (it != children[node].end()) {
+      node = it->second;
+      tent += weight;
+      return weight;
+    }
+    if (label == space_id) {
+      if (terminal[node]) {  // completed hotword at a word boundary: commit
+        node = 0;
+        tent = 0.0;
+        return 0.0;
+      }
+      double d = -tent;
+      node = 0;
+      tent = 0.0;
+      return d;
+    }
+    double d = -tent;
+    node = 0;
+    tent = 0.0;
+    auto rt = children[0].find(label);
+    if (rt != children[0].end()) {
+      node = rt->second;
+      tent = weight;
+      return d + weight;
+    }
+    return d;
+  }
+};
+
 double lm_word_contrib(const LM* lm, double alpha, double beta,
                        const std::vector<int32_t>& ctx, int32_t word_id) {
   if (lm == nullptr) return 0.0;
@@ -470,6 +562,7 @@ double lm_word_contrib(const LM* lm, double alpha, double beta,
 struct StreamingBeamSearch {
   Decoder dec;
   const LM* lm = nullptr;
+  const Hotwords* hw = nullptr;
   double alpha = 0.4, beta = 0.9, token_min_logp = -5.0;
   int beam_width = 200;
 
@@ -490,10 +583,12 @@ struct StreamingBeamSearch {
 
 std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
                         int n_classes, const LM* lm, double alpha,
-                        double beta, int beam_width, double token_min_logp) {
+                        double beta, int beam_width, double token_min_logp,
+                        const Hotwords* hw = nullptr) {
   StreamingBeamSearch s;
   s.dec = dec;
   s.lm = lm;
+  s.hw = hw;
   s.alpha = alpha;
   s.beta = beta;
   s.beam_width = beam_width;
@@ -521,9 +616,13 @@ void StreamingBeamSearch::advance(const float* logprobs, int t_max,
     next.clear();
     // Candidate keys reference the (stable) source beams' sequences; the
     // extended vector is only materialized on first insertion.
+    // hw_label: label to feed the hotword automaton (-1 = no emission /
+    // collapsed space).  hw state is a pure function of the candidate key's
+    // emitted text, so merged sources always agree on it.
     auto merge = [&](const Beam& src, int32_t extra, bool last_space,
                      double p_b, double p_nb, bool new_word,
-                     int32_t completed_word, int new_word_start) {
+                     int32_t completed_word, int new_word_start,
+                     int32_t hw_label) {
       CandKey key{extra >= 0 ? hash_step(src.hash, extra) : src.hash,
                   &src.seq, extra, last_space};
       auto it = next.find(key);
@@ -549,6 +648,10 @@ void StreamingBeamSearch::advance(const float* logprobs, int t_max,
       } else {
         nb.lm_score = src.lm_score;
       }
+      nb.hw_node = src.hw_node;
+      nb.hw_tent = src.hw_tent;
+      if (hw != nullptr && hw_label >= 0)
+        nb.lm_score += hw->step(nb.hw_node, nb.hw_tent, hw_label);
       next.emplace(key, std::move(nb));
     };
 
@@ -562,14 +665,14 @@ void StreamingBeamSearch::advance(const float* logprobs, int t_max,
         double p = frame[tok];
         if (tok == blank) {
           merge(beam, -1, beam.last_space, p_total + p, kNegInf, false, 0,
-                beam.word_start);
+                beam.word_start, -1);
           continue;
         }
         double src_p;
         if (tok == last) {
           // extend the run (same collapsed prefix)
           merge(beam, -1, beam.last_space, kNegInf, beam.p_nb + p, false, 0,
-                beam.word_start);
+                beam.word_start, -1);
           src_p = beam.p_b;  // new symbol only after explicit blank
         } else {
           src_p = p_total;
@@ -585,16 +688,16 @@ void StreamingBeamSearch::advance(const float* logprobs, int t_max,
               wid = lm->word_id(w);
             }
             merge(beam, tok, true, kNegInf, src_p + p, true, wid,
-                  (int)beam.seq.size() + 1);
+                  (int)beam.seq.size() + 1, tok);
           } else {
             // empty word: the space is dropped from the prefix (leading /
             // duplicate spaces), only the last_space flag is set
             merge(beam, -1, true, kNegInf, src_p + p, false, 0,
-                  beam.word_start);
+                  beam.word_start, -1);
           }
         } else {
           merge(beam, tok, false, kNegInf, src_p + p, false, 0,
-                beam.word_start);
+                beam.word_start, tok);
         }
       }
     }
@@ -687,18 +790,34 @@ float tone_lm_score(void* lm, const int32_t* context, int ctx_len,
   return static_cast<LM*>(lm)->score(context, ctx_len, word);
 }
 
+// Build a hotword automaton over the label set. phrases_joined:
+// '\n'-separated UTF-8 phrases. Returns nullptr if no valid phrase or a
+// phrase uses a character outside the labels.
+void* tone_hotwords_create(const char* labels_joined, int n_labels,
+                           const char* phrases_joined, double weight) {
+  Decoder dec;
+  if (!parse_labels(labels_joined, n_labels, dec)) return nullptr;
+  auto hw = std::make_unique<Hotwords>();
+  hw->weight = weight;
+  if (!hw->build(dec, phrases_joined)) return nullptr;
+  return hw.release();
+}
+
+void tone_hotwords_free(void* hw) { delete static_cast<Hotwords*>(hw); }
+
 // labels: n_labels UTF-8 strings concatenated, separated by '\n'.
 // Returns bytes written to out (excluding NUL), or -1 on error.
 int tone_ctc_beam_search(const float* logprobs, int t_max, int n_classes,
                          const char* labels_joined, int n_labels, void* lm,
                          double alpha, double beta, int beam_width,
-                         double token_min_logp, char* out, int out_cap) {
+                         double token_min_logp, void* hotwords,
+                         char* out, int out_cap) {
   Decoder dec;
   if (!parse_labels(labels_joined, n_labels, dec)) return -1;
   std::string text =
       beam_search(dec, logprobs, t_max, n_classes,
                   static_cast<LM*>(lm), alpha, beta, beam_width,
-                  token_min_logp);
+                  token_min_logp, static_cast<Hotwords*>(hotwords));
   if ((int)text.size() + 1 > out_cap) return -1;
   std::memcpy(out, text.c_str(), text.size() + 1);
   return (int)text.size();
@@ -711,10 +830,11 @@ int tone_ctc_beam_search(const float* logprobs, int t_max, int n_classes,
 
 void* tone_beam_create(const char* labels_joined, int n_labels, void* lm,
                        double alpha, double beta, int beam_width,
-                       double token_min_logp) {
+                       double token_min_logp, void* hotwords) {
   auto s = std::make_unique<StreamingBeamSearch>();
   if (!parse_labels(labels_joined, n_labels, s->dec)) return nullptr;
   s->lm = static_cast<LM*>(lm);
+  s->hw = static_cast<Hotwords*>(hotwords);
   s->alpha = alpha;
   s->beta = beta;
   s->beam_width = beam_width;
