@@ -112,12 +112,64 @@ def test_facade_and_cli_dispatch():
 
     with pytest.raises(ValueError, match="hotwords"):
         build_decoder("greedy", hotwords=["мир"])
-    with pytest.raises(ValueError, match="hotwords"):
-        build_decoder("device-beam", hotwords=["мир"])
+    with pytest.raises(ValueError, match="rescoring"):
+        build_decoder("device-beam", hotwords=["мир"], fused_lm=True,
+                      lm="unused.arpa")
     with pytest.raises(ValueError, match="no hotwords"):
         HotwordScorer([])
     with pytest.raises(ValueError, match="label set"):
         BeamSearchCTCDecoder(hotwords=["labs"])  # latin chars not in LABELS
+
+
+def test_device_search_equals_host_with_hotwords():
+    """The on-TPU search with the automaton riding the beam state decodes
+    exactly like the host hotword search — random logprobs, random
+    phrase lists, batched with ragged lengths."""
+    from tone_tpu.ops.beam_decode import (
+        hot_beam_advance, hot_beam_nbest, init_hot_beam_state,
+        make_hotword_tables)
+
+    words = ["мир", "сан дата", "привет", "дом", "та"]
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        B, T = 3, 30
+        logits = rng.normal(0.0, 2.5, (B, T, len(LABELS) + 1))
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        lengths = rng.integers(8, T + 1, B)
+        picks = list(rng.choice(len(words), 2, replace=False))
+        phrases = [words[i] for i in picks]
+        weight = float(rng.uniform(0.5, 3.0))
+
+        tables = make_hotword_tables(phrases, weight)
+        state = init_hot_beam_state(B, 16, max_len=64)
+        state = hot_beam_advance(state, lp, lengths, hotwords=tables)
+        dev = [h[0][0] if h else "" for h in hot_beam_nbest(state, 1)]
+        host = [ctc_beam_search(lp[b, :lengths[b]], LABELS, beam_width=16,
+                                hotwords=HotwordScorer(phrases, weight))
+                for b in range(B)]
+        assert dev == host, (trial, phrases, weight, lengths)
+
+
+def test_device_decoder_facade_with_hotwords():
+    """DeviceBeamSearchCTCDecoder(hotwords=...) biases forward/forward_batch
+    and composes with host n-best LM rescoring."""
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+    lp = _ambiguous("р", "г").astype(np.float32)
+    plain = DeviceBeamSearchCTCDecoder(beam_width=16)
+    assert plain.forward(lp) == "миг"
+    dec = DeviceBeamSearchCTCDecoder(beam_width=16,
+                                     hotwords=["мир"], hotword_weight=3.0)
+    assert dec.forward(lp) == "мир"
+    assert dec.forward_batch([lp, lp]) == ["мир", "мир"]
+
+    with pytest.raises(ValueError, match="fusion"):
+        DeviceBeamSearchCTCDecoder(hotwords=["мир"], fusion=True, lm=object())
+
+    dec2 = build_decoder("device-beam", hotwords=["мир"], hotword_weight=3.0,
+                         beam_width=16)
+    assert dec2.forward(lp) == "мир"
 
 
 def test_native_equals_python_with_hotwords():

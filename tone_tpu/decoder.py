@@ -241,18 +241,30 @@ class DeviceBeamSearchCTCDecoder:
                  alpha: float = BeamSearchCTCDecoder.ALPHA,
                  beta: float = BeamSearchCTCDecoder.BETA,
                  beam_width: int = 32, nbest: int = 8,
-                 max_len: int = 2048, fusion: bool = False) -> None:
+                 max_len: int = 2048, fusion: bool = False,
+                 hotwords=None, hotword_weight: float = 10.0) -> None:
         """``fusion=False`` (default): LM-free device search + host n-best
         rescoring.  ``fusion=True``: the LM itself is fused into the device
         search (``lm`` must be a ``decoding.device_lm.DeviceLM`` or expose
         ``_ngrams`` tables to build one) — full shallow fusion with zero
-        host work in the search loop."""
+        host work in the search loop.  ``hotwords`` (non-fusion mode)
+        biases the device search itself toward the given words/phrases —
+        the automaton rides the beam state as dense trie arrays
+        (ops/beam_decode.py HotwordTables)."""
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
         self.nbest = nbest
         self.max_len = max_len
         self.fusion = fusion and lm is not None
+        self._hotwords = None
+        if hotwords:
+            if self.fusion:
+                raise ValueError("hotwords are not supported with fusion=True "
+                                 "yet — use rescoring mode (fusion=False)")
+            from tone_tpu.ops.beam_decode import make_hotword_tables
+
+            self._hotwords = make_hotword_tables(hotwords, hotword_weight)
         # Serving knobs (MultiStreamEngine sets both to its final-decode
         # batch): pad the device batch up to ``batch_floor`` rows and split
         # larger lists into ``max_batch``-row calls, so the set of compiled
@@ -360,14 +372,26 @@ class DeviceBeamSearchCTCDecoder:
             return [h[0][0] if h else "" for h in hyps[:n]]
 
         from tone_tpu.decoding.rescore import rescore_nbest
-        from tone_tpu.ops.beam_decode import (
-            beam_advance, beam_nbest, init_beam_state)
 
-        state = init_beam_state(padded.shape[0], self.beam_width,
-                                self.max_len)
-        state = beam_advance(state, padded, lengths)
+        if self._hotwords is not None:
+            from tone_tpu.ops.beam_decode import (
+                hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
+
+            state = init_hot_beam_state(padded.shape[0], self.beam_width,
+                                        self.max_len)
+            state = hot_beam_advance(state, padded, lengths,
+                                     hotwords=self._hotwords)
+            nbest = hot_beam_nbest(state, self.nbest)
+        else:
+            from tone_tpu.ops.beam_decode import (
+                beam_advance, beam_nbest, init_beam_state)
+
+            state = init_beam_state(padded.shape[0], self.beam_width,
+                                    self.max_len)
+            state = beam_advance(state, padded, lengths)
+            nbest = beam_nbest(state, self.nbest)
         out = []
-        for hyps in beam_nbest(state, self.nbest)[:n]:
+        for hyps in nbest[:n]:
             ranked = rescore_nbest(hyps, self._lm,
                                    alpha=self.alpha, beta=self.beta)
             out.append(ranked[0][0] if ranked else "")
@@ -396,16 +420,23 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
     to an ARPA text LM or any of the six KenLM binary formats.  ``fused_lm``
     selects full device-side shallow fusion (device-beam only; requires
     ``lm``).  ``beam_width`` overrides the decoder's default width.
-    ``hotwords`` (host ``beam`` only) biases the search toward the given
-    words/phrases.  Raises ``ValueError`` on inconsistent flag combinations.
+    ``hotwords`` biases the search toward the given words/phrases (host
+    ``beam``, or ``device-beam`` in rescoring mode — the automaton rides
+    the on-TPU search).  Raises ``ValueError`` on inconsistent flag
+    combinations.
     """
-    if hotwords and kind != "beam":
-        raise ValueError("--hotwords requires --decoder beam (host search)")
+    if hotwords and kind == "greedy":
+        raise ValueError("--hotwords requires --decoder beam or device-beam")
     if kind == "device-beam":
         if fused_lm and not lm:
             raise ValueError("--fused-lm requires --lm (an ARPA or KenLM "
                              "LM artifact to fuse)")
+        if hotwords and fused_lm:
+            raise ValueError("--hotwords with device-beam requires rescoring "
+                             "mode (drop --fused-lm)")
         kwargs = {"beam_width": beam_width} if beam_width else {}
+        if hotwords:
+            kwargs.update(hotwords=hotwords, hotword_weight=hotword_weight)
         if lm:
             return DeviceBeamSearchCTCDecoder.from_local(
                 lm, fusion=fused_lm, **kwargs)

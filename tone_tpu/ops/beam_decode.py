@@ -93,9 +93,21 @@ def _mix(h1, h2, v):
     return (h1 * jnp.uint32(1000003)) ^ u, (h2 * jnp.uint32(2654435761)) + u
 
 
-def _frame_step(carry, xs, *, token_min_logp):
-    """One frame of prefix beam search for the whole batch."""
-    p_b, p_nb, h1, h2, lc = carry
+def _frame_step(carry, xs, *, token_min_logp, hw=None):
+    """One frame of prefix beam search for the whole batch.
+
+    ``hw`` (a :class:`HotwordTables`) switches in contextual biasing: the
+    carry grows (node, tentative, bias) per beam — the device twin of the
+    host hotword automaton (tone_tpu/decoding/hotwords.py) — and ranking
+    uses ``logaddexp(p_b, p_nb) + bias``.  The per-character boost must be
+    in the ranking BEFORE pruning (that is the point of biasing), so the
+    automaton steps for all (W, V-1) expansions via one dense-trie row
+    gather per beam — unlike the fused LM path, whose expensive lookups are
+    deferred to the W survivors."""
+    if hw is None:
+        p_b, p_nb, h1, h2, lc = carry
+    else:
+        p_b, p_nb, h1, h2, lc, hw_node, hw_tent, hw_bias = carry
     frame, active = xs                      # (B, V), (B,)
     b_sz, w = p_b.shape
     v_total = frame.shape[-1]
@@ -132,6 +144,43 @@ def _frame_step(carry, xs, *, token_min_logp):
     # space-after-space already lives in the self candidate
     exp_pnb = jnp.where(is_space & (lc == SPACE_ID)[:, :, None],
                         NEG_INF, exp_pnb)
+
+    if hw is not None:
+        # Hotword automaton step for every (beam, char) expansion.  Exactly
+        # HotwordScorer.step: match extends tentatively; a space on a
+        # terminal node commits; falling off retracts with a single-step
+        # root restart; a collapsed (empty-word) space doesn't step.
+        whw = hw.weight
+        rows = jnp.take(hw.children, hw_node, axis=0)      # (B, W, n_char)
+        term = jnp.take(hw.terminal, hw_node, axis=0)      # (B, W)
+        root_row = hw.children[0]                          # (n_char,)
+        child = rows
+        on = child >= 0
+        t3 = hw_tent[:, :, None]
+        # non-space chars
+        root_child = root_row[None, None, :]
+        restart = root_child >= 0
+        miss_node = jnp.where(restart, root_child, 0)
+        miss_tent = jnp.where(restart, whw, 0.0)
+        miss_delta = -t3 + jnp.where(restart, whw, 0.0)
+        ch_node = jnp.where(on, child, miss_node)
+        ch_tent = jnp.where(on, t3 + whw, miss_tent)
+        ch_delta = jnp.where(on, whw, miss_delta)
+        # the space char: continue phrase / commit / retract
+        sp_commit = term[:, :, None]
+        sp_node = jnp.where(on, child, 0)
+        sp_tent = jnp.where(on, t3 + whw, 0.0)
+        sp_delta = jnp.where(on, whw, jnp.where(sp_commit, 0.0, -t3))
+        exp_node = jnp.where(is_space, sp_node, ch_node)
+        exp_tent = jnp.where(is_space, sp_tent, ch_tent)
+        exp_delta = jnp.where(is_space, sp_delta, ch_delta)
+        # collapsed spaces (lead_space; space-after-space is dead anyway)
+        # emit no text: no automaton step
+        no_step = lead_space
+        exp_node = jnp.where(no_step, hw_node[:, :, None], exp_node)
+        exp_tent = jnp.where(no_step, t3, exp_tent)
+        exp_delta = jnp.where(no_step, 0.0, exp_delta)
+        exp_bias = hw_bias[:, :, None] + exp_delta
 
     # --- merge extensions that share a parent text -------------------------
     # Two live beams can carry the same collapsed text only when that text
@@ -190,6 +239,11 @@ def _frame_step(carry, xs, *, token_min_logp):
     c_parent = ccat(iota_w32, e_parent)
     c_e = ccat(jnp.full((b_sz, w), -1, jnp.int32), e_e)
     tot = jnp.logaddexp(c_pb, c_pnb)
+    if hw is not None:
+        c_node = ccat(hw_node, flat(exp_node))
+        c_tent = ccat(hw_tent, flat(exp_tent))
+        c_bias = ccat(hw_bias, flat(exp_bias))
+        tot = tot + c_bias
     m_pb, m_pnb = c_pb, c_pnb
 
     # --- keep the best W ---------------------------------------------------
@@ -212,6 +266,12 @@ def _frame_step(carry, xs, *, token_min_logp):
         jnp.where(keep, n_h2, h2),
         jnp.where(keep, n_lc, lc),
     )
+    if hw is not None:
+        carry = carry + (
+            jnp.where(keep, take(c_node), hw_node),
+            jnp.where(keep, take(c_tent), hw_tent),
+            jnp.where(keep, take(c_bias), hw_bias),
+        )
     return carry, (out_parent, out_e)
 
 
@@ -369,6 +429,126 @@ def top_texts(tokens, lens) -> list[str]:
     tokens, lens = np.asarray(tokens), np.asarray(lens)
     return ["".join(LABELS[i] for i in row[:n]).strip()
             for row, n in zip(tokens, lens)]
+
+
+# ---------------------------------------------------------------------------
+# Hotword (contextual-biasing) search on device: the host automaton
+# (tone_tpu/decoding/hotwords.py) as dense trie arrays riding the beam
+# state.  Per-character tentative boost with word-boundary commit/retract,
+# stepped for all (W, V-1) expansions inside the jitted frame step so the
+# bias steers pruning — FlexCTC-style contextual decoding, TPU-native.
+# ---------------------------------------------------------------------------
+
+
+class HotwordTables(NamedTuple):
+    """Dense automaton tables (device arrays).  Node 0 is the root; node
+    count is padded to a power of two so changing the phrase list rarely
+    recompiles."""
+
+    children: jnp.ndarray   # (n_nodes, n_char) int32 child ids, -1 = none
+    terminal: jnp.ndarray   # (n_nodes,) bool
+    weight: jnp.ndarray     # () f32 boost per matching character
+
+
+def make_hotword_tables(phrases, weight: float = 10.0) -> HotwordTables:
+    """Build device tables from words/phrases (host-side, once per list)."""
+    from tone_tpu.decoding.hotwords import HotwordScorer
+
+    scorer = HotwordScorer(phrases, weight)
+    n_char = len(LABELS)
+    n_nodes = len(scorer._children)
+    padded = 1 << (n_nodes - 1).bit_length() if n_nodes > 1 else 1
+    children = np.full((padded, n_char), -1, np.int32)
+    terminal = np.zeros(padded, bool)
+    label_id = {c: i for i, c in enumerate(LABELS)}
+    for node, kids in enumerate(scorer._children):
+        for ch, child in kids.items():
+            cid = label_id.get(ch)
+            if cid is None:
+                raise ValueError(f"hotword character {ch!r} not in the label set")
+            children[node, cid] = child
+        terminal[node] = bool(scorer._terminal[node])
+    return HotwordTables(jnp.asarray(children), jnp.asarray(terminal),
+                         jnp.float32(weight))
+
+
+class HotBeamState(NamedTuple):
+    """Beam state + per-beam automaton (node, tentative, bias)."""
+
+    base: BeamState
+    node: jnp.ndarray   # (B, W) int32
+    tent: jnp.ndarray   # (B, W) f32 retractable boost
+    bias: jnp.ndarray   # (B, W) f32 total applied boost
+
+    @property
+    def scores(self) -> jnp.ndarray:
+        return self.base.totals + self.bias
+
+
+def init_hot_beam_state(batch: int, beam_width: int,
+                        max_len: int = 2048) -> HotBeamState:
+    base = init_beam_state(batch, beam_width, max_len)
+    zeros = jnp.zeros((batch, beam_width), jnp.float32)
+    return HotBeamState(base, jnp.zeros_like(base.lc), zeros, zeros)
+
+
+def _advance_hot(state: HotBeamState, logprobs, active, hw,
+                 token_min_logp) -> HotBeamState:
+    base = state.base
+    carry = (base.p_b, base.p_nb, base.h1, base.h2, base.lc,
+             state.node, state.tent, state.bias)
+    step = lambda c, xs: _frame_step(c, xs, token_min_logp=token_min_logp,
+                                     hw=hw)
+    carry, (parents, emits) = jax.lax.scan(
+        step, carry,
+        (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
+    p_b, p_nb, h1, h2, lc, node, tent, bias = carry
+    tokens, lens = _backtrack_and_splice(base.tokens, base.lens,
+                                         parents, emits)
+    return HotBeamState(BeamState(p_b, p_nb, h1, h2, lc, tokens, lens),
+                        node, tent, bias)
+
+
+_advance_hot_jit = jax.jit(_advance_hot)
+
+
+def hot_beam_advance(
+    state: HotBeamState,
+    logprobs,
+    lengths=None,
+    *,
+    hotwords: HotwordTables,
+    token_min_logp: float = -5.0,
+) -> HotBeamState:
+    """:func:`beam_advance` with contextual biasing riding the state."""
+    logprobs = jnp.asarray(logprobs, jnp.float32)
+    b_sz, t_max, _ = logprobs.shape
+    if lengths is None:
+        active = jnp.ones((b_sz, t_max), bool)
+    else:
+        active = jnp.arange(t_max)[None, :] < jnp.asarray(lengths)[:, None]
+    return _advance_hot_jit(state, logprobs, active, hotwords,
+                            jnp.float32(token_min_logp))
+
+
+def hot_beam_nbest(state: HotBeamState, n: int = 1) -> list[list[tuple[str, float]]]:
+    """Per stream, up to ``n`` (text, acoustic_logp + bias) pairs — the
+    ranking the host hotword search uses (biased totals)."""
+    scores = np.asarray(state.scores)
+    tokens = np.asarray(state.base.tokens)
+    lens = np.asarray(state.base.lens)
+    out = []
+    for b in range(scores.shape[0]):
+        order = np.argsort(-scores[b], kind="stable")[:n]
+        hyps = []
+        for wi in order:
+            if not np.isfinite(scores[b, wi]):
+                continue
+            ids = tokens[b, wi, :lens[b, wi]]
+            hyps.append(("".join(LABELS[i] for i in ids).strip(),
+                         float(scores[b, wi])))
+        out.append(hyps)
+    return out
 
 
 # ---------------------------------------------------------------------------
