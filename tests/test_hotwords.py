@@ -112,9 +112,6 @@ def test_facade_and_cli_dispatch():
 
     with pytest.raises(ValueError, match="hotwords"):
         build_decoder("greedy", hotwords=["мир"])
-    with pytest.raises(ValueError, match="rescoring"):
-        build_decoder("device-beam", hotwords=["мир"], fused_lm=True,
-                      lm="unused.arpa")
     with pytest.raises(ValueError, match="no hotwords"):
         HotwordScorer([])
     with pytest.raises(ValueError, match="label set"):
@@ -164,12 +161,47 @@ def test_device_decoder_facade_with_hotwords():
     assert dec.forward(lp) == "мир"
     assert dec.forward_batch([lp, lp]) == ["мир", "мир"]
 
-    with pytest.raises(ValueError, match="fusion"):
-        DeviceBeamSearchCTCDecoder(hotwords=["мир"], fusion=True, lm=object())
-
     dec2 = build_decoder("device-beam", hotwords=["мир"], hotword_weight=3.0,
                          beam_width=16)
     assert dec2.forward(lp) == "мир"
+
+
+def test_fused_device_search_with_hotwords_equals_host():
+    """Full on-TPU shallow fusion + hotword biasing together == the host
+    search running the same LM fusion and the same automaton.  The LM is
+    built by the in-framework estimator (dogfooding estimate.py)."""
+    from tone_tpu.decoding.device_lm import DeviceLM
+    from tone_tpu.decoding.estimate import estimate_ngram_lm
+    from tone_tpu.decoding.lm import ArpaLM
+    from tone_tpu.ops.beam_decode import (
+        fused_beam_advance, fused_beam_nbest, init_fused_beam_state,
+        make_hotword_tables)
+
+    rng = np.random.default_rng(11)
+    corpus = [["мир", "дом"], ["дом", "та"], ["мир"], ["та", "мир", "дом"]]
+    tables = estimate_ngram_lm(corpus, order=2)
+    arpa, dev_lm = ArpaLM(tables), DeviceLM.from_ngrams(tables)
+    arrs = dev_lm.arrays()
+
+    for trial in range(4):
+        B, T = 2, 24
+        logits = rng.normal(0.0, 2.5, (B, T, len(LABELS) + 1))
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        phrases = ["дом", "сан дата"]
+        weight = float(rng.uniform(0.5, 2.5))
+
+        hw_tables = make_hotword_tables(phrases, weight)
+        st = init_fused_beam_state(B, 12, dev_lm, max_len=64,
+                                   hotwords=hw_tables)
+        st = fused_beam_advance(st, lp, arrs, hotwords=hw_tables)
+        got = [h[0][0] if h else "" for h in fused_beam_nbest(st, dev_lm, 1)]
+
+        want = [ctc_beam_search(lp[b].astype(np.float64), LABELS, arpa,
+                                beam_width=12,
+                                hotwords=HotwordScorer(phrases, weight))
+                for b in range(B)]
+        assert got == want, (trial, weight)
 
 
 def test_native_equals_python_with_hotwords():

@@ -247,9 +247,9 @@ class DeviceBeamSearchCTCDecoder:
         rescoring.  ``fusion=True``: the LM itself is fused into the device
         search (``lm`` must be a ``decoding.device_lm.DeviceLM`` or expose
         ``_ngrams`` tables to build one) — full shallow fusion with zero
-        host work in the search loop.  ``hotwords`` (non-fusion mode)
-        biases the device search itself toward the given words/phrases —
-        the automaton rides the beam state as dense trie arrays
+        host work in the search loop.  ``hotwords`` biases the device
+        search itself toward the given words/phrases in either mode — the
+        automaton rides the beam state as dense trie arrays
         (ops/beam_decode.py HotwordTables)."""
         self.alpha = alpha
         self.beta = beta
@@ -259,9 +259,6 @@ class DeviceBeamSearchCTCDecoder:
         self.fusion = fusion and lm is not None
         self._hotwords = None
         if hotwords:
-            if self.fusion:
-                raise ValueError("hotwords are not supported with fusion=True "
-                                 "yet — use rescoring mode (fusion=False)")
             from tone_tpu.ops.beam_decode import make_hotword_tables
 
             self._hotwords = make_hotword_tables(hotwords, hotword_weight)
@@ -363,10 +360,12 @@ class DeviceBeamSearchCTCDecoder:
                 fused_beam_advance, fused_beam_nbest, init_fused_beam_state)
 
             state = init_fused_beam_state(padded.shape[0], self.beam_width,
-                                          self._lm, self.max_len)
+                                          self._lm, self.max_len,
+                                          hotwords=self._hotwords)
             state = fused_beam_advance(state, padded, self._lm_arrays,
                                        lengths, alpha=self.alpha,
-                                       beta=self.beta)
+                                       beta=self.beta,
+                                       hotwords=self._hotwords)
             hyps = fused_beam_nbest(state, self._lm, 1,
                                     alpha=self.alpha, beta=self.beta)
             return [h[0][0] if h else "" for h in hyps[:n]]
@@ -421,7 +420,7 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
     selects full device-side shallow fusion (device-beam only; requires
     ``lm``).  ``beam_width`` overrides the decoder's default width.
     ``hotwords`` biases the search toward the given words/phrases (host
-    ``beam``, or ``device-beam`` in rescoring mode — the automaton rides
+    ``beam``, or ``device-beam`` in either LM mode — the automaton rides
     the on-TPU search).  Raises ``ValueError`` on inconsistent flag
     combinations.
     """
@@ -431,9 +430,6 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
         if fused_lm and not lm:
             raise ValueError("--fused-lm requires --lm (an ARPA or KenLM "
                              "LM artifact to fuse)")
-        if hotwords and fused_lm:
-            raise ValueError("--hotwords with device-beam requires rescoring "
-                             "mode (drop --fused-lm)")
         kwargs = {"beam_width": beam_width} if beam_width else {}
         if hotwords:
             kwargs.update(hotwords=hotwords, hotword_weight=hotword_weight)

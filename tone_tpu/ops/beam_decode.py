@@ -93,6 +93,42 @@ def _mix(h1, h2, v):
     return (h1 * jnp.uint32(1000003)) ^ u, (h2 * jnp.uint32(2654435761)) + u
 
 
+def _hw_expand(hw, hw_node, hw_tent, hw_bias, is_space, lead_space):
+    """Hotword automaton step for every (beam, char) expansion.  Exactly
+    HotwordScorer.step (tone_tpu/decoding/hotwords.py): match extends
+    tentatively; a space on a terminal node commits; falling off retracts
+    with a single-step root restart; a collapsed (empty-word) space doesn't
+    step.  Returns (node, tentative, bias) of shape (B, W, V-1)."""
+    whw = hw.weight
+    rows = jnp.take(hw.children, hw_node, axis=0)      # (B, W, n_char)
+    term = jnp.take(hw.terminal, hw_node, axis=0)      # (B, W)
+    on = rows >= 0
+    t3 = hw_tent[:, :, None]
+    # non-space chars
+    root_child = hw.children[0][None, None, :]
+    restart = root_child >= 0
+    miss_node = jnp.where(restart, root_child, 0)
+    miss_tent = jnp.where(restart, whw, 0.0)
+    miss_delta = -t3 + jnp.where(restart, whw, 0.0)
+    ch_node = jnp.where(on, rows, miss_node)
+    ch_tent = jnp.where(on, t3 + whw, miss_tent)
+    ch_delta = jnp.where(on, whw, miss_delta)
+    # the space char: continue phrase / commit / retract
+    sp_commit = term[:, :, None]
+    sp_node = jnp.where(on, rows, 0)
+    sp_tent = jnp.where(on, t3 + whw, 0.0)
+    sp_delta = jnp.where(on, whw, jnp.where(sp_commit, 0.0, -t3))
+    exp_node = jnp.where(is_space, sp_node, ch_node)
+    exp_tent = jnp.where(is_space, sp_tent, ch_tent)
+    exp_delta = jnp.where(is_space, sp_delta, ch_delta)
+    # collapsed spaces (lead_space; space-after-space is dead anyway) emit
+    # no text: no automaton step
+    exp_node = jnp.where(lead_space, hw_node[:, :, None], exp_node)
+    exp_tent = jnp.where(lead_space, t3, exp_tent)
+    exp_delta = jnp.where(lead_space, 0.0, exp_delta)
+    return exp_node, exp_tent, hw_bias[:, :, None] + exp_delta
+
+
 def _frame_step(carry, xs, *, token_min_logp, hw=None):
     """One frame of prefix beam search for the whole batch.
 
@@ -146,41 +182,8 @@ def _frame_step(carry, xs, *, token_min_logp, hw=None):
                         NEG_INF, exp_pnb)
 
     if hw is not None:
-        # Hotword automaton step for every (beam, char) expansion.  Exactly
-        # HotwordScorer.step: match extends tentatively; a space on a
-        # terminal node commits; falling off retracts with a single-step
-        # root restart; a collapsed (empty-word) space doesn't step.
-        whw = hw.weight
-        rows = jnp.take(hw.children, hw_node, axis=0)      # (B, W, n_char)
-        term = jnp.take(hw.terminal, hw_node, axis=0)      # (B, W)
-        root_row = hw.children[0]                          # (n_char,)
-        child = rows
-        on = child >= 0
-        t3 = hw_tent[:, :, None]
-        # non-space chars
-        root_child = root_row[None, None, :]
-        restart = root_child >= 0
-        miss_node = jnp.where(restart, root_child, 0)
-        miss_tent = jnp.where(restart, whw, 0.0)
-        miss_delta = -t3 + jnp.where(restart, whw, 0.0)
-        ch_node = jnp.where(on, child, miss_node)
-        ch_tent = jnp.where(on, t3 + whw, miss_tent)
-        ch_delta = jnp.where(on, whw, miss_delta)
-        # the space char: continue phrase / commit / retract
-        sp_commit = term[:, :, None]
-        sp_node = jnp.where(on, child, 0)
-        sp_tent = jnp.where(on, t3 + whw, 0.0)
-        sp_delta = jnp.where(on, whw, jnp.where(sp_commit, 0.0, -t3))
-        exp_node = jnp.where(is_space, sp_node, ch_node)
-        exp_tent = jnp.where(is_space, sp_tent, ch_tent)
-        exp_delta = jnp.where(is_space, sp_delta, ch_delta)
-        # collapsed spaces (lead_space; space-after-space is dead anyway)
-        # emit no text: no automaton step
-        no_step = lead_space
-        exp_node = jnp.where(no_step, hw_node[:, :, None], exp_node)
-        exp_tent = jnp.where(no_step, t3, exp_tent)
-        exp_delta = jnp.where(no_step, 0.0, exp_delta)
-        exp_bias = hw_bias[:, :, None] + exp_delta
+        exp_node, exp_tent, exp_bias = _hw_expand(
+            hw, hw_node, hw_tent, hw_bias, is_space, lead_space)
 
     # --- merge extensions that share a parent text -------------------------
     # Two live beams can carry the same collapsed text only when that text
@@ -571,25 +574,36 @@ class FusedBeamState(NamedTuple):
     wid: jnp.ndarray    # (B, W) int32 node_word[node] (-1 = not a word) —
                         # carried so no per-frame node_word gather is needed
     lm_sc: jnp.ndarray  # (B, W) f32 accumulated fusion score (natural log)
+    # hotword automaton (None unless the search is hotword-biased)
+    hw_node: jnp.ndarray | None = None   # (B, W) int32
+    hw_tent: jnp.ndarray | None = None   # (B, W) f32 retractable boost
+    hw_bias: jnp.ndarray | None = None   # (B, W) f32 total applied boost
 
     @property
     def scores(self) -> jnp.ndarray:
-        return self.base.totals + self.lm_sc
+        s = self.base.totals + self.lm_sc
+        return s if self.hw_bias is None else s + self.hw_bias
 
 
 def init_fused_beam_state(batch: int, beam_width: int, lm,
-                          max_len: int = 2048) -> FusedBeamState:
+                          max_len: int = 2048,
+                          hotwords: HotwordTables | None = None) -> FusedBeamState:
     """``lm`` is a tone_tpu.decoding.device_lm.DeviceLM."""
     k = lm.order - 1
     ctx = np.full((batch, beam_width, k), -1, np.int32)
     if k:
         ctx[:, :, -1] = lm.bos_id  # host begin_context() == ("<s>",)
+    zeros = jnp.zeros((batch, beam_width), jnp.float32)
     return FusedBeamState(
         base=init_beam_state(batch, beam_width, max_len),
         ctx=jnp.asarray(ctx),
         node=jnp.zeros((batch, beam_width), jnp.int32),
         wid=jnp.full((batch, beam_width), -1, jnp.int32),  # root: no word
-        lm_sc=jnp.zeros((batch, beam_width), jnp.float32),
+        lm_sc=zeros,
+        hw_node=(jnp.zeros((batch, beam_width), jnp.int32)
+                 if hotwords is not None else None),
+        hw_tent=zeros if hotwords is not None else None,
+        hw_bias=zeros if hotwords is not None else None,
     )
 
 
@@ -795,7 +809,7 @@ def _trie_step(lm, node, char):
             jnp.where(found, i32(sel[..., 2]), -1))
 
 
-def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
+def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp, hw=None):
     """One fused frame: the LM-free candidate construction and merging of
     _frame_step, plus the LM riding the beam state.
 
@@ -807,7 +821,11 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
     candidates always carry identical LM fields (they are a function of the
     collapsed text alone), so reconstruction from any representative is
     sound."""
-    p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc = carry
+    if hw is None:
+        p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc = carry
+    else:
+        (p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc,
+         hw_node, hw_tent, hw_bias) = carry
     frame, active = xs
     b_sz, w = p_b.shape
     v_total = frame.shape[-1]
@@ -855,6 +873,10 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
     exp_lm = lm_sc[:, :, None] + jnp.where(
         is_space & word_event[:, :, None], delta[:, :, None], 0.0)
 
+    if hw is not None:
+        exp_node_hw, exp_tent_hw, exp_bias_hw = _hw_expand(
+            hw, hw_node, hw_tent, hw_bias, is_space, lead_space)
+
     # --- twin fold (probability only; twins share identical LM fields) ----
     same_h = ((h1[:, :, None] == h1[:, None, :])
               & (h2[:, :, None] == h2[:, None, :]))
@@ -899,6 +921,11 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
     c_e = ccat(jnp.full((b_sz, w), -1, jnp.int32), e_e)
     c_lm = ccat(lm_sc, flat(exp_lm))
     tot = jnp.logaddexp(c_pb, c_pnb) + c_lm
+    if hw is not None:
+        c_node_hw = ccat(hw_node, flat(exp_node_hw))
+        c_tent_hw = ccat(hw_tent, flat(exp_tent_hw))
+        c_bias_hw = ccat(hw_bias, flat(exp_bias_hw))
+        tot = tot + c_bias_hw
 
     _, idx = jax.lax.top_k(tot, w)
     take = lambda a: jnp.take_along_axis(a, idx, axis=1)
@@ -934,25 +961,37 @@ def _fused_frame_step(carry, xs, *, lm, alpha, beta, token_min_logp):
         jnp.where(keep, new_nw, nw),
         jnp.where(keep, new_lm, lm_sc),
     )
+    if hw is not None:
+        carry = carry + (
+            jnp.where(keep, take(c_node_hw), hw_node),
+            jnp.where(keep, take(c_tent_hw), hw_tent),
+            jnp.where(keep, take(c_bias_hw), hw_bias),
+        )
     return carry, (out_parent, out_e)
 
 
 def _advance_fused(state: FusedBeamState, logprobs, active, lm,
-                   alpha, beta, token_min_logp) -> FusedBeamState:
+                   alpha, beta, token_min_logp, hw=None) -> FusedBeamState:
     base = state.base
     carry = (base.p_b, base.p_nb, base.h1, base.h2, base.lc,
              state.ctx, state.node, state.wid, state.lm_sc)
+    if hw is not None:
+        carry = carry + (state.hw_node, state.hw_tent, state.hw_bias)
     step = lambda c, xs: _fused_frame_step(
-        c, xs, lm=lm, alpha=alpha, beta=beta, token_min_logp=token_min_logp)
+        c, xs, lm=lm, alpha=alpha, beta=beta, token_min_logp=token_min_logp,
+        hw=hw)
     carry, (parents, emits) = jax.lax.scan(
         step, carry,
         (jnp.swapaxes(logprobs, 0, 1), jnp.swapaxes(active, 0, 1)))
-    p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc = carry
+    p_b, p_nb, h1, h2, lc, ctx, node, nw, lm_sc = carry[:9]
     tokens, lens = _backtrack_and_splice(base.tokens, base.lens,
                                          parents, emits)
     return FusedBeamState(
         base=BeamState(p_b, p_nb, h1, h2, lc, tokens, lens),
-        ctx=ctx, node=node, wid=nw, lm_sc=lm_sc)
+        ctx=ctx, node=node, wid=nw, lm_sc=lm_sc,
+        hw_node=carry[9] if hw is not None else None,
+        hw_tent=carry[10] if hw is not None else None,
+        hw_bias=carry[11] if hw is not None else None)
 
 
 _advance_fused_jit = jax.jit(_advance_fused)
@@ -967,11 +1006,14 @@ def fused_beam_advance(
     alpha: float = 0.4,
     beta: float = 0.9,
     token_min_logp: float = -5.0,
+    hotwords: HotwordTables | None = None,
 ) -> FusedBeamState:
     """Consume (B, T, V) frames with the LM fused into the search.
 
     ``lm_arrays`` is ``DeviceLM.arrays()``; one program is compiled per LM
-    shape.  Same masking semantics as :func:`beam_advance`.
+    shape.  Same masking semantics as :func:`beam_advance`.  ``hotwords``
+    adds contextual biasing on top of the fusion (the state must come from
+    ``init_fused_beam_state(..., hotwords=...)``).
     """
     logprobs = jnp.asarray(logprobs, jnp.float32)
     b_sz, t_max, _ = logprobs.shape
@@ -981,7 +1023,7 @@ def fused_beam_advance(
         active = jnp.arange(t_max)[None, :] < jnp.asarray(lengths)[:, None]
     return _advance_fused_jit(state, logprobs, active, lm_arrays,
                               jnp.float32(alpha), jnp.float32(beta),
-                              jnp.float32(token_min_logp))
+                              jnp.float32(token_min_logp), hotwords)
 
 
 def fused_beam_nbest(
@@ -993,6 +1035,8 @@ def fused_beam_nbest(
     in-progress word (beam.py StreamingBeamSearch.result())."""
     totals = np.asarray(state.base.totals)
     lm_sc = np.asarray(state.lm_sc)
+    if state.hw_bias is not None:
+        lm_sc = lm_sc + np.asarray(state.hw_bias)
     tokens = np.asarray(state.base.tokens)
     lens = np.asarray(state.base.lens)
     ctxs = np.asarray(state.ctx)
