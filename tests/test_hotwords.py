@@ -166,6 +166,46 @@ def test_device_decoder_facade_with_hotwords():
     assert dec2.forward(lp) == "мир"
 
 
+def test_engine_interim_device_beam_uses_hotword_arena():
+    """A serving engine whose final decoder carries device hotword tables
+    runs the interim arena through the biased variants — partials bias
+    exactly like finals."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    from tone_tpu.ops import beam_decode as bd
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    dec = DeviceBeamSearchCTCDecoder(beam_width=8, hotwords=["мир"],
+                                     hotword_weight=2.0)
+    engine = MultiStreamEngine(variables, cfg, n_slots=2, decoder=dec,
+                               interim_device_beam=True,
+                               interim_beam_width=4)
+    try:
+        assert engine._interim_beam_ops()[0] is bd.init_hot_beam_state
+        sid = engine.open_stream()
+        rng = np.random.default_rng(0)
+        interims = []
+        for i in range(4):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            engine.feed(sid, chunk, is_last=(i == 3))
+            engine.tick()
+            interims.extend(engine.last_interims.values())
+        assert isinstance(engine._device_beams, bd.HotBeamState)
+        assert all(isinstance(t, str) for t in interims)
+    finally:
+        engine.shutdown()
+
+
 def test_fused_device_search_with_hotwords_equals_host():
     """Full on-TPU shallow fusion + hotword biasing together == the host
     search running the same LM fusion and the same automaton.  The LM is

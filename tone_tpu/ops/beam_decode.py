@@ -534,6 +534,30 @@ def hot_beam_advance(
                             jnp.float32(token_min_logp))
 
 
+@jax.jit
+def hot_beam_reset(state: HotBeamState, mask) -> HotBeamState:
+    """:func:`beam_reset` for the biased arena (serving interims)."""
+    batch, w = state.base.p_b.shape
+    fresh = init_hot_beam_state(batch, w, state.base.tokens.shape[-1])
+    m2 = jnp.asarray(mask)[:, None]
+    return HotBeamState(
+        base=beam_reset.__wrapped__(state.base, jnp.asarray(mask)),
+        node=jnp.where(m2, fresh.node, state.node),
+        tent=jnp.where(m2, fresh.tent, state.tent),
+        bias=jnp.where(m2, fresh.bias, state.bias),
+    )
+
+
+@jax.jit
+def hot_beam_top_tokens(state: HotBeamState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`beam_top_tokens` ranking by the biased score."""
+    best = jnp.argmax(state.scores, axis=1)
+    tokens = jnp.take_along_axis(
+        state.base.tokens, best[:, None, None], axis=1)[:, 0]
+    lens = jnp.take_along_axis(state.base.lens, best[:, None], axis=1)[:, 0]
+    return tokens, lens
+
+
 def hot_beam_nbest(state: HotBeamState, n: int = 1) -> list[list[tuple[str, float]]]:
     """Per stream, up to ``n`` (text, acoustic_logp + bias) pairs — the
     ranking the host hotword search uses (biased totals)."""

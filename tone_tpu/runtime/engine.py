@@ -399,22 +399,38 @@ class MultiStreamEngine:
                     break
                 t <<= 1
         if self.interim_device_beam:
-            from tone_tpu.ops.beam_decode import (
-                beam_advance, beam_reset, beam_top_tokens, init_beam_state)
+            init, reset, advance, top = self._interim_beam_ops()
 
             n = self.arena.n_slots
             if self._device_beams is None:
-                self._device_beams = init_beam_state(
+                self._device_beams = init(
                     n, self._device_beam_width, self._device_beam_max_len)
-            state = beam_reset(self._device_beams, np.zeros(n, bool))
+            state = reset(self._device_beams, np.zeros(n, bool))
             frames = self.config.encoder.chunk_size
             # zero active frames: compiles the full program, states unchanged
-            state = beam_advance(
+            state = advance(
                 state,
                 np.full((n, frames, len(self._labels) + 1), -3.5, np.float32),
                 np.zeros(n, np.int32))
-            np.asarray(beam_top_tokens(state)[0])
+            np.asarray(top(state)[0])
             self._device_beams = state
+
+    def _interim_beam_ops(self):
+        """(init, reset, advance, top_tokens) for the interim device arena —
+        the hotword-biased variants when the final decoder carries device
+        hotword tables (DeviceBeamSearchCTCDecoder(hotwords=...)), so
+        interim partials bias exactly like finals."""
+        from tone_tpu.ops import beam_decode as bd
+
+        hw = getattr(self.decoder, "_hotwords", None)
+        if isinstance(hw, bd.HotwordTables):
+            return (bd.init_hot_beam_state, bd.hot_beam_reset,
+                    lambda st, lp, fr: bd.hot_beam_advance(st, lp, fr,
+                                                           hotwords=hw),
+                    bd.hot_beam_top_tokens)
+        return (bd.init_beam_state, bd.beam_reset,
+                lambda st, lp, fr: bd.beam_advance(st, lp, fr),
+                bd.beam_top_tokens)
 
     def _tick_device_beams(self, logprobs, ticking, by_slot, reset):
         """Advance the device-resident beam arena one tick and read back the
@@ -426,13 +442,12 @@ class MultiStreamEngine:
         Mirrors the host carried-search lifecycle (the interim_beam branch
         of tick) with one batched device call instead of per-stream tasks.
         """
-        from tone_tpu.ops.beam_decode import (
-            beam_advance, beam_reset, beam_top_tokens, init_beam_state,
-            top_texts)
+        from tone_tpu.ops.beam_decode import top_texts
 
+        init, reset_fn, advance, top = self._interim_beam_ops()
         n = self.arena.n_slots
         if self._device_beams is None:
-            self._device_beams = init_beam_state(
+            self._device_beams = init(
                 n, self._device_beam_width, self._device_beam_max_len)
         reset_mask = np.asarray(reset, bool).copy()
         frames = np.zeros(n, np.int32)
@@ -442,10 +457,10 @@ class MultiStreamEngine:
                 reset_mask[stream.slot] = True
             else:
                 frames[stream.slot] = n_frames
-        state = beam_reset(self._device_beams, reset_mask)
-        state = beam_advance(state, np.asarray(logprobs, np.float32), frames)
+        state = reset_fn(self._device_beams, reset_mask)
+        state = advance(state, np.asarray(logprobs, np.float32), frames)
         self._device_beams = state
-        return top_texts(*beam_top_tokens(state))
+        return top_texts(*top(state))
 
     def pop_finished(self) -> list[int]:
         """Stream ids whose final (is_last) chunk was processed since the
