@@ -32,7 +32,44 @@ def measure_batch(model, batch_size: int, steps: tuple[int, int] = (20, 120)) ->
     return step_stats(model, batch_size, steps).seconds_per_step
 
 
+def wait_for_backend(max_wait_s: float = 1500.0) -> None:
+    """Wait out transient TPU-pool unavailability before measuring.
+
+    The tunneled pool can refuse or stall claims for minutes after an
+    unclean client death; probe ``jax.devices()`` in SUBPROCESSES (an
+    in-process failed init poisons the backend cache) until one succeeds
+    or the budget runs out — then proceed either way and let the real
+    failure surface with its own traceback.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=min(300.0, max(deadline - time.monotonic(), 60.0)))
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt:
+                print(f"backend up after {attempt} retries", file=sys.stderr)
+            return
+        attempt += 1
+        if time.monotonic() >= deadline:
+            print("backend still unavailable; proceeding to fail loudly",
+                  file=sys.stderr)
+            return
+        print(f"backend probe {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(30.0)
+
+
 def main() -> None:
+    wait_for_backend()
+
     from tone_tpu.acoustic import StreamingCTCModel
     from tone_tpu.config import ToneConfig
     from tone_tpu.core.model import init_model_params
