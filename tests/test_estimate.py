@@ -188,6 +188,37 @@ def test_prune_validation():
         estimate_ngram_lm(CORPUS, order=2, prune=[0, 0, 0])
 
 
+def test_prune_short_list_extends_last_value():
+    """lmplz semantics: --prune 0 1 at order 3 means [0, 1, 1], not
+    [0, 0, 1] — a ported lmplz command line must prune identically."""
+    short = estimate_ngram_lm(CORPUS, order=3, prune=[0, 1])
+    full = estimate_ngram_lm(CORPUS, order=3, prune=[0, 1, 1])
+    assert short == full
+    assert short != estimate_ngram_lm(CORPUS, order=3, prune=[0, 0, 1])
+
+
+def test_prune_context_prefix_closure():
+    """A kept n-gram whose context bigram falls below threshold: the
+    context must be force-kept (it carries the backoff weight the ARPA
+    format routes through), or the context's distribution over-assigns
+    mass.  Construction: trigram (а, б, ц) raw count 3 (highest order
+    keeps raw counts), while bigram (а, б) has continuation count 2 —
+    both below a threshold of 2."""
+    corpus = [["в1", "а", "б", "ц"], ["в1", "а", "б", "ц"],
+              ["в2", "а", "б", "ц"]]
+    # raw (а,б,ц) = 3 > 2 (kept); (а,б) continuation count = |{в1,в2}| = 2
+    # <= 2 and no kept trigram has it as a suffix — only the prefix-closure
+    # repair can store it.
+    tables = estimate_ngram_lm(corpus, order=3, prune=[0, 2, 2])
+    assert ("а", "б", "ц") in tables[2]
+    assert ("а", "б") in tables[1]  # force-kept context prefix
+    lm = ArpaLM(tables)
+    words = _vocab(tables)
+    for ctx in _contexts(tables, 3):
+        total = sum(10.0 ** lm.score(ctx, w) for w in words)
+        assert math.isclose(total, 1.0, abs_tol=1e-9), (ctx, total)
+
+
 def test_perplexity():
     from tone_tpu.decoding.estimate import perplexity
 

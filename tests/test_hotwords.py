@@ -117,6 +117,16 @@ def test_facade_and_cli_dispatch():
     with pytest.raises(ValueError, match="label set"):
         BeamSearchCTCDecoder(hotwords=["labs"])  # latin chars not in LABELS
 
+    # A pre-built HotwordScorer keeps the fast native path (its phrase
+    # list and weight rebuild the native automaton).
+    from tone_tpu.decoding.native.beamsearch import native_available
+
+    pre = BeamSearchCTCDecoder(hotwords=HotwordScorer(["мир"], 3.0),
+                               beam_width=16)
+    if native_available():
+        assert pre._use_native and pre._native_hotwords is not None
+    assert pre.forward(lp.astype(np.float32)) == "мир"
+
 
 def test_device_search_equals_host_with_hotwords():
     """The on-TPU search with the automaton riding the beam state decodes
@@ -280,16 +290,51 @@ def test_native_equals_python_with_hotwords():
         assert stream.result() == py
 
 
-def test_scorer_restart_after_mismatch():
-    """Falling off the trie retries the failing char from the root."""
+def test_scorer_parks_after_mismatch():
+    """Falling off the trie parks the automaton until the next word
+    boundary — matches can only begin at word starts."""
     hw = HotwordScorer(["мир"], weight=1.0)
     state, d1 = hw.step((0, 0.0), "м")
     assert d1 == 1.0
-    state, d2 = hw.step(state, "я")  # off-trie: retract, no restart ("я" != "м")
-    assert d2 == -1.0 and state == (0, 0.0)
-    state, d3 = hw.step(state, "м")  # matches from root again
-    assert d3 == 1.0
-    # restart on a char that IS a root child: retract + re-enter in one step
-    state2, _ = hw.step((0, 0.0), "м")
-    state2, d4 = hw.step(state2, "м")  # "мм": off path, but "м" restarts
-    assert d4 == -1.0 + 1.0
+    state, d2 = hw.step(state, "я")  # off-trie: retract and park
+    assert d2 == -1.0 and state == (-1, 0.0)
+    state, d3 = hw.step(state, "м")  # mid-word "м" must NOT restart a match
+    assert d3 == 0.0 and state == (-1, 0.0)
+    state, d4 = hw.step(state, " ")  # boundary rearms
+    assert d4 == 0.0 and state == (0, 0.0)
+    state, d5 = hw.step(state, "м")
+    assert d5 == 1.0
+
+
+def test_no_boost_for_suffix_matching_words():
+    """A word merely ENDING with a hotword gets zero net boost."""
+    hw = HotwordScorer(["мир"], weight=2.0)
+    state, total = (0, 0.0), 0.0
+    for ch in "владимир ":
+        state, d = hw.step(state, ch)
+        total += d
+    assert total == 0.0
+    # ...while the hotword itself commits in full
+    state, total = (0, 0.0), 0.0
+    for ch in "мир ":
+        state, d = hw.step(state, ch)
+        total += d
+    assert total == 6.0
+
+
+def test_short_hotword_commits_under_longer_phrase():
+    """A completed hotword that is also a prefix of a longer phrase commits
+    at its boundary; only the continuation stays tentative."""
+    hw = HotwordScorer(["сан", "сан дата"], weight=2.0)
+    state, total = (0, 0.0), 0.0
+    for ch in "сан дом ":  # phrase continuation fails at "д-о"
+        state, d = hw.step(state, ch)
+        total += d
+    # "сан" (3 chars) committed; the space + "д" tentatives retracted.
+    assert total == 6.0
+    # and the full phrase still accrues everything when it completes
+    state, total = (0, 0.0), 0.0
+    for ch in "сан дата ":
+        state, d = hw.step(state, ch)
+        total += d
+    assert total == 2.0 * len("сан дата")

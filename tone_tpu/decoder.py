@@ -131,8 +131,10 @@ class BeamSearchCTCDecoder:
             from tone_tpu.decoding.hotwords import HotwordScorer
 
             if isinstance(hotwords, HotwordScorer):
+                # A pre-built scorer keeps its phrase list and weight, so
+                # the native twin is still constructible from it.
                 self._hotwords = hotwords
-                native_ok = False
+                phrases, hotword_weight = hotwords.phrases, hotwords.weight
             else:
                 phrases = [str(h) for h in hotwords]
                 bad = {c for h in phrases for c in h.lower() if c not in LABELS}
@@ -140,11 +142,16 @@ class BeamSearchCTCDecoder:
                     raise ValueError(
                         f"hotword characters outside the label set: {sorted(bad)}")
                 self._hotwords = HotwordScorer(phrases, hotword_weight)
-                if native_ok:
-                    from tone_tpu.decoding.native.beamsearch import NativeHotwords
+            if native_ok:
+                from tone_tpu.decoding.native.beamsearch import NativeHotwords
 
+                try:
                     self._native_hotwords = NativeHotwords(
                         LABELS, phrases, hotword_weight)
+                except ValueError:
+                    # pre-built scorer with out-of-label-set phrases (those
+                    # can never match, but stay on the Python path)
+                    native_ok = False
         self._use_native = native_ok
 
     @classmethod
@@ -282,6 +289,13 @@ class DeviceBeamSearchCTCDecoder:
                 lm = DeviceLM.from_ngrams(ngrams)
             self._lm_arrays = lm.arrays()
         self._lm = lm
+
+    @property
+    def hotword_tables(self):
+        """Device hotword automaton tables (ops.beam_decode.HotwordTables)
+        or None — the public seam the serving engine uses to run its
+        interim arena through the biased search variants."""
+        return self._hotwords
 
     @classmethod
     def from_local(cls, model_path: str | Path, *, fusion: bool = False,

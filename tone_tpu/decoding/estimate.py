@@ -98,33 +98,40 @@ def _discounts(counts: Counter, n: int) -> tuple[float, float, float]:
 
 
 def _prune(adjusted, order: int, prune: Sequence[int]):
-    """Drop n-grams with adjusted count <= prune[n] (lmplz --prune).
+    """Drop n-grams with adjusted count <= prune[n] (lmplz --prune
+    semantics: a shorter threshold list extends its LAST value to the
+    remaining higher orders, so ``--prune 0 1`` at order 3 means
+    ``[0, 1, 1]``).
 
     Thresholds must be non-decreasing with order and 0 for unigrams.
-    Suffix closure is repaired afterwards: continuation counting does NOT
-    guarantee a kept gram's suffix clears the same threshold (a gram seen
-    after many distinct words can have a suffix seen after only one), and
-    the interpolated-ARPA normalization proof needs every kept gram's
-    suffix stored — so such suffixes are force-kept.  Pruning happens
-    before estimation, so every surviving context's distribution still
-    sums to exactly 1 (pruned words route through backoff mass).
+    Closure is repaired afterwards: a kept gram's SUFFIX need not clear
+    the same threshold (a gram seen after many distinct words can have a
+    suffix seen after only one) yet the interpolated-ARPA normalization
+    proof needs it stored, and a kept gram's CONTEXT PREFIX must be
+    stored to carry the backoff weight the ARPA format routes through —
+    both are force-kept.  Pruning happens before estimation, so every
+    surviving context's distribution still sums to exactly 1 (pruned
+    words route through backoff mass).
     """
     prune = list(prune)
+    if not prune:
+        return adjusted
     if len(prune) > order:
         raise ValueError(f"{len(prune)} prune thresholds for order {order}")
-    prune = [0] * (order - len(prune)) + prune
+    prune = prune + [prune[-1]] * (order - len(prune))
     if prune[0] != 0:
         raise ValueError("unigrams cannot be pruned (threshold must be 0)")
     if any(a > b for a, b in zip(prune, prune[1:])):
         raise ValueError(f"prune thresholds must be non-decreasing: {prune}")
 
-    kept_above: set = set()
+    forced: set = set()
     for n in range(order - 1, -1, -1):
         table = adjusted[n]
         kept = {g: c for g, c in table.items()
-                if c > prune[n] or g in kept_above}
+                if c > prune[n] or g in forced}
         adjusted[n] = Counter(kept)
-        kept_above = {g[1:] for g in kept if len(g) > 1}
+        forced = {g[1:] for g in kept if len(g) > 1}
+        forced |= {g[:-1] for g in kept if len(g) > 1}
     return adjusted
 
 
@@ -137,9 +144,9 @@ def estimate_ngram_lm(sentences: Iterable[Sequence[str]],
         sentences: token sequences (no ``<s>``/``</s>`` — added here).
         order: highest n-gram order (≥1).
         prune: per-order count thresholds (lmplz ``--prune`` semantics:
-            drop n-grams with adjusted count <= threshold; shorter
-            sequences left-pad with 0; must be non-decreasing; unigrams
-            unprunable).
+            drop n-grams with adjusted count <= threshold; a shorter
+            sequence extends its last value to the remaining higher
+            orders; must be non-decreasing; unigrams unprunable).
 
     Returns:
         ARPA-style tables in the ``ArpaLM._ngrams`` layout — ``result[k]``

@@ -11,23 +11,23 @@ else.
 
 Semantics (per emitted character, natural-log units):
 
+* a match can only BEGIN at a word start — words merely *ending* with a
+  hotword ("владимир" vs hotword "мир") are never boosted;
 * while the current word (plus, for multi-word phrases, the matched tail
   of preceding words) is a prefix of some hotword, each matching character
   adds ``weight`` to the hypothesis score *tentatively*;
 * a word boundary where the match is a complete hotword commits the
-  tentative boost permanently;
-* falling off every hotword path retracts the tentative boost (and
-  restarts matching at the current character);
+  tentative boost permanently — including when a longer phrase also
+  continues through that boundary ("сан" commits even while "сан дата"
+  keeps matching; only the continuation stays tentative);
+* falling off every hotword path retracts the tentative boost and parks
+  the automaton until the next word boundary;
 * an in-progress prefix keeps its tentative credit in interim/final
   ranking — biasing is active mid-word, which is what makes it effective
   for streaming partial transcripts.
 
 The automaton state is a pure function of a hypothesis's emitted text, so
-beams merged by (text, partial) always agree on it.  Mismatch restart is
-single-step (retry the failing character from the root) rather than full
-Aho–Corasick failure links: overlapping-suffix rematches
-(e.g. hotwords "abcd"/"bcde" on text "abcde") are not chased — the same
-simplification pyctcdecode makes.
+beams merged by (text, partial) always agree on it.
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import Iterable
 
 # Automaton state carried on each beam: (node id, tentative boost).
+# Node -1 = parked (mid-word after a mismatch) until the next word boundary.
 START = (0, 0.0)
 
 
@@ -74,20 +75,29 @@ class HotwordScorer:
         Returns (new_state, score_delta).  The caller adds ``score_delta``
         to the hypothesis score; tentative boost bookkeeping is inside the
         state.  A space character commits a completed hotword (the word
-        boundary) or continues a phrase whose next character is a space.
+        boundary) and/or continues a phrase whose next character is a
+        space; a mismatch retracts and parks until the next boundary.
         """
         node, tentative = state
         w = self.weight
+        if char == " ":
+            if node >= 0 and self._terminal[node]:
+                # Completed hotword: commit what's accrued.  A longer
+                # phrase may continue through this boundary — only the
+                # continuation (starting with this space) stays tentative.
+                child = self._children[node].get(" ")
+                if child is not None:
+                    return (child, w), w
+                return START, 0.0
+            if node >= 0:
+                child = self._children[node].get(" ")
+                if child is not None:  # mid-phrase boundary, nothing to commit
+                    return (child, tentative + w), w
+            # failed or parked match: retract and rearm for the next word
+            return START, -tentative
+        if node < 0:  # parked: matches only begin at word starts
+            return state, 0.0
         child = self._children[node].get(char)
         if child is not None:
             return (child, tentative + w), w
-        if char == " ":
-            if self._terminal[node]:
-                # Completed hotword at a word boundary: commit.
-                return START, 0.0
-            return START, -tentative
-        delta = -tentative
-        restart = self._children[0].get(char)
-        if restart is not None:
-            return (restart, w), delta + w
-        return START, delta
+        return (-1, 0.0), -tentative

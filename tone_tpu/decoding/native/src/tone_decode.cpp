@@ -517,33 +517,46 @@ struct Hotwords {
 
   // Advance on one emitted label; updates (node, tent) in place and returns
   // the score delta (mirrors hotwords.py HotwordScorer.step exactly).
+  // Node -1 = parked (mid-word after a mismatch) until the next boundary.
   double step(int32_t& node, double& tent, int32_t label) const {
+    if (label == space_id) {
+      if (node >= 0 && terminal[node]) {
+        // Completed hotword: commit what's accrued.  A longer phrase may
+        // continue through this boundary — only the continuation
+        // (starting with this space) stays tentative.
+        auto it = children[node].find(label);
+        if (it != children[node].end()) {
+          node = it->second;
+          tent = weight;
+          return weight;
+        }
+        node = 0;
+        tent = 0.0;
+        return 0.0;
+      }
+      if (node >= 0) {
+        auto it = children[node].find(label);
+        if (it != children[node].end()) {  // mid-phrase boundary
+          node = it->second;
+          tent += weight;
+          return weight;
+        }
+      }
+      double d = -tent;  // failed or parked: retract, rearm for next word
+      node = 0;
+      tent = 0.0;
+      return d;
+    }
+    if (node < 0) return 0.0;  // parked: matches only begin at word starts
     auto it = children[node].find(label);
     if (it != children[node].end()) {
       node = it->second;
       tent += weight;
       return weight;
     }
-    if (label == space_id) {
-      if (terminal[node]) {  // completed hotword at a word boundary: commit
-        node = 0;
-        tent = 0.0;
-        return 0.0;
-      }
-      double d = -tent;
-      node = 0;
-      tent = 0.0;
-      return d;
-    }
     double d = -tent;
-    node = 0;
+    node = -1;
     tent = 0.0;
-    auto rt = children[0].find(label);
-    if (rt != children[0].end()) {
-      node = rt->second;
-      tent = weight;
-      return d + weight;
-    }
     return d;
   }
 };

@@ -145,9 +145,13 @@ class OfflineTranscriber:
         for row, a in enumerate(batch_audios):
             audio_arr[row, :len(a)] = a
 
-        chunks_dev = jnp.asarray(audio_arr.reshape(n_rows, n_chunks, chunk))
-        if self._row_sharding is not None:
-            chunks_dev = jax.device_put(chunks_dev, self._row_sharding)
+        chunks = audio_arr.reshape(n_rows, n_chunks, chunk)
+        # device_put straight from the numpy array: with a sharding this
+        # distributes each row shard once, instead of committing the whole
+        # batch to one device and resharding.
+        chunks_dev = jax.device_put(
+            chunks, self._row_sharding) if self._row_sharding is not None \
+            else jnp.asarray(chunks)
         return idx, row_chunks, self._batch_forward(self.variables, chunks_dev)
 
     def _finish(self, launched, results) -> None:

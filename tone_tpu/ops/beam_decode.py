@@ -95,35 +95,37 @@ def _mix(h1, h2, v):
 
 def _hw_expand(hw, hw_node, hw_tent, hw_bias, is_space, lead_space):
     """Hotword automaton step for every (beam, char) expansion.  Exactly
-    HotwordScorer.step (tone_tpu/decoding/hotwords.py): match extends
-    tentatively; a space on a terminal node commits; falling off retracts
-    with a single-step root restart; a collapsed (empty-word) space doesn't
-    step.  Returns (node, tentative, bias) of shape (B, W, V-1)."""
+    HotwordScorer.step (tone_tpu/decoding/hotwords.py): matches begin only
+    at word starts (node -1 = parked until the next boundary); matching
+    chars extend tentatively; a boundary on a terminal node commits (and a
+    longer phrase may keep matching — only the continuation stays
+    tentative); falling off retracts; a collapsed (empty-word) space
+    doesn't step.  Returns (node, tentative, bias) of shape (B, W, V-1)."""
     whw = hw.weight
-    rows = jnp.take(hw.children, hw_node, axis=0)      # (B, W, n_char)
-    term = jnp.take(hw.terminal, hw_node, axis=0)      # (B, W)
-    on = rows >= 0
+    parked = (hw_node < 0)[:, :, None]                       # (B, W, 1)
+    safe = jnp.clip(hw_node, 0, None)
+    rows = jnp.take(hw.children, safe, axis=0)               # (B, W, n_char)
+    term = (jnp.take(hw.terminal, safe, axis=0)[:, :, None]
+            & ~parked)                                       # (B, W, 1)
+    on = (rows >= 0) & ~parked
     t3 = hw_tent[:, :, None]
-    # non-space chars
-    root_child = hw.children[0][None, None, :]
-    restart = root_child >= 0
-    miss_node = jnp.where(restart, root_child, 0)
-    miss_tent = jnp.where(restart, whw, 0.0)
-    miss_delta = -t3 + jnp.where(restart, whw, 0.0)
-    ch_node = jnp.where(on, rows, miss_node)
-    ch_tent = jnp.where(on, t3 + whw, miss_tent)
-    ch_delta = jnp.where(on, whw, miss_delta)
-    # the space char: continue phrase / commit / retract
-    sp_commit = term[:, :, None]
+    node3 = hw_node[:, :, None]
+    # non-space chars: advance, or retract + park until the next boundary
+    ch_node = jnp.where(on, rows, jnp.where(parked, node3, -1))
+    ch_tent = jnp.where(on, t3 + whw, 0.0)
+    ch_delta = jnp.where(on, whw, jnp.where(parked, 0.0, -t3))
+    # the space char: commit(+continue) / mid-phrase continue / rearm
+    commit_cont = term & on
     sp_node = jnp.where(on, rows, 0)
-    sp_tent = jnp.where(on, t3 + whw, 0.0)
-    sp_delta = jnp.where(on, whw, jnp.where(sp_commit, 0.0, -t3))
+    sp_tent = jnp.where(commit_cont, whw,
+                        jnp.where(on, t3 + whw, 0.0))
+    sp_delta = jnp.where(on, whw, jnp.where(term, 0.0, -t3))
     exp_node = jnp.where(is_space, sp_node, ch_node)
     exp_tent = jnp.where(is_space, sp_tent, ch_tent)
     exp_delta = jnp.where(is_space, sp_delta, ch_delta)
     # collapsed spaces (lead_space; space-after-space is dead anyway) emit
     # no text: no automaton step
-    exp_node = jnp.where(lead_space, hw_node[:, :, None], exp_node)
+    exp_node = jnp.where(lead_space, node3, exp_node)
     exp_tent = jnp.where(lead_space, t3, exp_tent)
     exp_delta = jnp.where(lead_space, 0.0, exp_delta)
     return exp_node, exp_tent, hw_bias[:, :, None] + exp_delta

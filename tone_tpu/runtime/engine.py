@@ -417,12 +417,12 @@ class MultiStreamEngine:
 
     def _interim_beam_ops(self):
         """(init, reset, advance, top_tokens) for the interim device arena —
-        the hotword-biased variants when the final decoder carries device
-        hotword tables (DeviceBeamSearchCTCDecoder(hotwords=...)), so
-        interim partials bias exactly like finals."""
+        the hotword-biased variants when the final decoder exposes device
+        hotword tables (DeviceBeamSearchCTCDecoder(hotwords=...).
+        hotword_tables), so interim partials bias exactly like finals."""
         from tone_tpu.ops import beam_decode as bd
 
-        hw = getattr(self.decoder, "_hotwords", None)
+        hw = getattr(self.decoder, "hotword_tables", None)
         if isinstance(hw, bd.HotwordTables):
             return (bd.init_hot_beam_state, bd.hot_beam_reset,
                     lambda st, lp, fr: bd.hot_beam_advance(st, lp, fr,
