@@ -1,0 +1,112 @@
+"""CTC forced alignment: word-level timestamps + confidences."""
+
+import numpy as np
+import pytest
+
+from tone_tpu.align import align_words, viterbi_align
+from tone_tpu.config import BLANK_ID, LABELS
+
+
+def _peaked(frames):
+    """(T, V) logprobs peaked at the given token per frame ('_' = blank)."""
+    V = len(LABELS) + 1
+    logits = np.full((len(frames), V), -8.0, np.float32)
+    for t, ch in enumerate(frames):
+        tok = BLANK_ID if ch == "_" else LABELS.index(ch)
+        logits[t, tok] = 0.0
+    return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+
+def test_viterbi_exact_alignment():
+    """Peaked logprobs align each char to exactly its emission frames,
+    including a repeated char separated by blank."""
+    lp = _peaked(["_", "м", "м", "и", "_", "и", "р", "_"])
+    spans = viterbi_align(lp, [LABELS.index(c) for c in "миир"])
+    assert spans[0][:2] == (1, 2)   # "м" spans its repeat frames
+    assert spans[1][:2] == (3, 3)   # first "и"
+    assert spans[2][:2] == (5, 5)   # second "и" (after the blank gap)
+    assert spans[3][:2] == (6, 6)   # "р"
+
+
+def test_align_words_frames_and_confidence():
+    lp = _peaked(["м", "и", "р", " ", "д", "о", "м", "_"])
+    words = align_words(lp, "мир дом")
+    assert [w[0] for w in words] == ["мир", "дом"]
+    (w1, s1, e1, c1), (w2, s2, e2, c2) = words
+    assert (s1, e1) == (0, 2) and (s2, e2) == (4, 6)
+    assert c1 > 0.95 and c2 > 0.95  # peaked => near-certain
+
+    # Ambiguity lowers confidence: halve the peak of one char.
+    lp2 = lp.copy()
+    lp2[1] = np.log(np.ones(lp.shape[1]) / lp.shape[1])  # uniform frame
+    words2 = align_words(lp2, "мир дом")
+    assert words2[0][3] < c1 and words2[1][3] == pytest.approx(c2, abs=1e-6)
+
+
+def test_align_words_empty_and_errors():
+    lp = _peaked(["_", "_"])
+    assert align_words(lp, "") == []
+    with pytest.raises(ValueError, match="cannot align"):
+        viterbi_align(lp, [LABELS.index(c) for c in "мир"])
+
+
+def test_alignment_matches_any_decoder_text():
+    """Beam-decoded text (even LM/hotword-steered) aligns without error and
+    covers the whole transcript."""
+    from tone_tpu.decoding.beam import ctc_beam_search
+    from tone_tpu.decoding.hotwords import HotwordScorer
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        logits = rng.normal(0, 2.5, (30, len(LABELS) + 1))
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
+        text = ctc_beam_search(lp, LABELS, beam_width=8,
+                               hotwords=HotwordScorer(["мир"], 2.0))
+        words = align_words(lp.astype(np.float32), text)
+        assert [w[0] for w in words] == text.split()
+        for _, f0, f1, conf in words:
+            assert 0 <= f0 <= f1 < 30 and 0.0 < conf <= 1.0
+
+
+def test_pipeline_word_timestamps():
+    """word_timestamps=True populates TextPhrase.words with absolute times
+    inside the phrase bounds; default pipelines keep words=None."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.acoustic import StreamingCTCModel
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import GreedyCTCDecoder
+    from tone_tpu.pipeline import StreamingCTCPipeline
+    from tone_tpu.splitter import StreamingLogprobSplitter
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    audio = np.random.default_rng(0).integers(
+        -20000, 20000, 8000).astype(np.int32)
+
+    model = StreamingCTCModel(variables, cfg)
+    plain = StreamingCTCPipeline(
+        model, StreamingLogprobSplitter(), GreedyCTCDecoder())
+    timed = StreamingCTCPipeline(
+        model, StreamingLogprobSplitter(), GreedyCTCDecoder(),
+        word_timestamps=True)
+
+    base = plain.forward_offline(audio)
+    rich = timed.forward_offline(audio)
+    assert [p.text for p in base] == [p.text for p in rich]
+    assert all(p.words is None for p in base)
+    for p in rich:
+        if not p.text:
+            continue
+        assert p.words and " ".join(w.word for w in p.words) == p.text
+        for w in p.words:
+            assert 0.0 <= w.start_time <= w.end_time
+            assert 0.0 < w.confidence <= 1.0
+        assert p.words[0].start_time >= p.start_time - 0.35  # time-bias slack
+        assert p.words[-1].end_time <= p.end_time + 0.35

@@ -75,7 +75,9 @@ def _build_pipeline(args):
                                 hotword_weight=args.hotword_weight)
     except ValueError as e:
         raise SystemExit(str(e)) from None
-    return StreamingCTCPipeline(model, StreamingLogprobSplitter(), decoder)
+    return StreamingCTCPipeline(
+        model, StreamingLogprobSplitter(), decoder,
+        word_timestamps=getattr(args, "word_times", False))
 
 
 def main() -> None:
@@ -99,6 +101,9 @@ def main() -> None:
     p_tr = sub.add_parser("transcribe", help="transcribe audio files")
     p_tr.add_argument("files", nargs="+", type=Path)
     p_tr.add_argument("--json", action="store_true", help="JSON output")
+    p_tr.add_argument("--word-times", action="store_true",
+                      help="word-level timestamps + confidences via CTC "
+                           "forced alignment")
     _add_model_args(p_tr)
 
     p_srv = sub.add_parser("serve", help="websocket ASR server")
@@ -171,18 +176,28 @@ def main() -> None:
     if args.command == "transcribe":
         from tone_tpu.audio import read_audio
 
+        def phrase_dict(p):
+            d = {"text": p.text, "start_time": p.start_time,
+                 "end_time": p.end_time}
+            if p.words is not None:
+                d["words"] = [vars(w) for w in p.words]
+            return d
+
         pipeline = _build_pipeline(args)
         for path in args.files:
             phrases = pipeline.forward_offline(read_audio(path))
             if args.json:
                 print(json.dumps({
                     "file": str(path),
-                    "phrases": [vars(p) for p in phrases],
+                    "phrases": [phrase_dict(p) for p in phrases],
                 }, ensure_ascii=False))
             else:
                 print(f"== {path}")
                 for p in phrases:
                     print(f"  [{p.start_time:7.2f} – {p.end_time:7.2f}] {p.text}")
+                    for w in p.words or ():
+                        print(f"      [{w.start_time:7.2f} – {w.end_time:7.2f}]"
+                              f" ({w.confidence:.2f}) {w.word}")
         return
 
     if args.command == "serve":

@@ -30,11 +30,17 @@ if TYPE_CHECKING:
 
 @dataclass
 class TextPhrase:
-    """A decoded phrase with timestamps (seconds)."""
+    """A decoded phrase with timestamps (seconds).
+
+    ``words`` (None unless the pipeline was built with
+    ``word_timestamps=True``) carries per-word times + confidences from CTC
+    forced alignment (tone_tpu/align.py) — beyond the reference, which is
+    phrase-level only (tone/pipeline.py:151-164)."""
 
     text: str
     start_time: float
     end_time: float
+    words: "tuple | None" = None
 
 
 class StreamingCTCPipeline:
@@ -50,10 +56,13 @@ class StreamingCTCPipeline:
         model: StreamingCTCModel,
         logprob_splitter: StreamingLogprobSplitter,
         decoder: GreedyCTCDecoder | BeamSearchCTCDecoder,
+        *,
+        word_timestamps: bool = False,
     ) -> None:
         self.model = model
         self.logprob_splitter = logprob_splitter
         self.decoder = decoder
+        self.word_timestamps = word_timestamps
         # Instance-level chunk/padding follow the model config (e.g. a 400 ms
         # variant built with ToneConfig.with_chunk_duration_ms) — the class
         # attributes are the standard 300 ms defaults.
@@ -166,7 +175,24 @@ class StreamingCTCPipeline:
             logprob_phrase.start_frame * frame_size - time_bias - pad_s, 2))
         end_time = max(start_time, round(
             logprob_phrase.end_frame * frame_size - time_bias - pad_s, 2))
-        return TextPhrase(text=text, start_time=start_time, end_time=end_time)
+        words = None
+        if self.word_timestamps and text:
+            from tone_tpu.align import WordTiming, align_words
+
+            words = tuple(
+                WordTiming(
+                    word=w,
+                    start_time=max(0.0, round(
+                        (logprob_phrase.start_frame + f0) * frame_size
+                        - time_bias - pad_s, 2)),
+                    end_time=max(0.0, round(
+                        (logprob_phrase.start_frame + f1 + 1) * frame_size
+                        - time_bias - pad_s, 2)),
+                    confidence=round(conf, 4),
+                )
+                for w, f0, f1, conf in align_words(logprob_phrase.logprobs, text))
+        return TextPhrase(text=text, start_time=start_time,
+                          end_time=end_time, words=words)
 
     def forward_offline(self, audio: "npt.NDArray[np.int32]") -> list[TextPhrase]:
         """Recognize a complete utterance (defined as looped streaming,
