@@ -68,6 +68,46 @@ def test_alignment_matches_any_decoder_text():
             assert 0 <= f0 <= f1 < 30 and 0.0 < conf <= 1.0
 
 
+def test_engine_word_timestamps():
+    """MultiStreamEngine(word_timestamps=True) attaches words to final
+    phrases (both the host-pool and batched-device decode paths)."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    chunks = [rng.integers(-20000, 20000, 2400).astype(np.int32)
+              for _ in range(4)]
+
+    for decoder in (None, DeviceBeamSearchCTCDecoder(beam_width=8)):
+        engine = MultiStreamEngine(variables, cfg, n_slots=2, decoder=decoder,
+                                   word_timestamps=True)
+        try:
+            sid = engine.open_stream()
+            phrases = []
+            for i, chunk in enumerate(chunks):
+                engine.feed(sid, chunk, is_last=(i == len(chunks) - 1))
+                for futures in engine.tick().values():
+                    phrases.extend(f.result() for f in futures)
+            got_words = [p for p in phrases if p.text]
+            assert got_words, "no non-empty phrase decoded"
+            for p in got_words:
+                assert p.words is not None
+                assert " ".join(w.word for w in p.words) == p.text
+        finally:
+            engine.shutdown()
+
+
 def test_pipeline_word_timestamps():
     """word_timestamps=True populates TextPhrase.words with absolute times
     inside the phrase bounds; default pipelines keep words=None."""

@@ -121,6 +121,9 @@ def main() -> None:
     p_srv.add_argument("--interim-beam-max-len", type=int, default=2048)
     p_srv.add_argument("--idle-evict-seconds", type=float, default=None,
                        help="idle stream reap timeout (default 15 s, Triton parity)")
+    p_srv.add_argument("--word-times", action="store_true",
+                       help="transcript events carry per-word times + "
+                            "confidences (CTC forced alignment)")
     p_srv.add_argument("--force-evict-grace", type=float, default=None,
                        help="min quiet seconds before slot steal under pressure")
     _add_model_args(p_srv)
@@ -216,7 +219,8 @@ def main() -> None:
             interim_beam_width=args.interim_beam_width,
             interim_beam_max_len=args.interim_beam_max_len,
             idle_evict_seconds=args.idle_evict_seconds,
-            force_evict_grace=args.force_evict_grace)
+            force_evict_grace=args.force_evict_grace,
+            word_timestamps=args.word_times)
         asyncio.run(serve(engine, args.host, args.port,
                           metrics_port=args.metrics_port))
         return

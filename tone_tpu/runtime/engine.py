@@ -88,7 +88,8 @@ class MultiStreamEngine:
                  interim_beam_max_len: int = 2048,
                  idle_evict_seconds: float | None = None,
                  force_evict_grace: float | None = None,
-                 final_decode_batch: int = 64) -> None:
+                 final_decode_batch: int = 64,
+                 word_timestamps: bool = False) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -121,7 +122,11 @@ class MultiStreamEngine:
         ``final_decode_batch``: device-batch bucket for final-phrase
         decodes (device_finals path): phrase batches pad up to and split
         at this many rows, so every serving decode hits one of the
-        programs warmup() precompiles."""
+        programs warmup() precompiles.
+
+        ``word_timestamps``: final phrases also carry per-word times +
+        confidences (CTC forced alignment, tone_tpu/align.py) — host-side
+        O(frames·chars) per phrase on the decode path."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
@@ -145,6 +150,7 @@ class MultiStreamEngine:
         self._device_beams = None       # lazy ops.beam_decode.BeamState
         self._device_beam_width = interim_beam_width
         self._device_beam_max_len = interim_beam_max_len
+        self.word_timestamps = word_timestamps
         if idle_evict_seconds is not None:
             self.IDLE_EVICT_SECONDS = idle_evict_seconds
         if force_evict_grace is not None:
@@ -522,6 +528,24 @@ class MultiStreamEngine:
         end = max(start, round(logprob_phrase.end_frame * frame_size - bias, 2))
         return start, end
 
+    def _word_times(self, logprob_phrase, text: str):
+        if not (self.word_timestamps and text):
+            return None
+        from tone_tpu.align import WordTiming, align_words
+
+        frame_size = 0.03
+        bias = self.config.mean_time_bias + self.config.padding / 8000
+        return tuple(
+            WordTiming(
+                word=w,
+                start_time=max(0.0, round(
+                    (logprob_phrase.start_frame + f0) * frame_size - bias, 2)),
+                end_time=max(0.0, round(
+                    (logprob_phrase.start_frame + f1 + 1) * frame_size - bias, 2)),
+                confidence=round(conf, 4),
+            )
+            for w, f0, f1, conf in align_words(logprob_phrase.logprobs, text))
+
     def _decode(self, logprob_phrase) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder
 
@@ -529,7 +553,8 @@ class MultiStreamEngine:
         text = decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
         start, end = self._phrase_times(logprob_phrase)
         self.stats.phrases_decoded += 1
-        return TextPhrase(text=text, start_time=start, end_time=end)
+        return TextPhrase(text=text, start_time=start, end_time=end,
+                          words=self._word_times(logprob_phrase, text))
 
     def _decode_batch(self, items: list[tuple[Future, object]]) -> None:
         """Decode a tick's completed phrases in one batched device call,
@@ -544,7 +569,8 @@ class MultiStreamEngine:
         for (fut, phrase), text in zip(items, texts):
             start, end = self._phrase_times(phrase)
             self.stats.phrases_decoded += 1
-            fut.set_result(TextPhrase(text=text, start_time=start, end_time=end))
+            fut.set_result(TextPhrase(text=text, start_time=start, end_time=end,
+                                      words=self._word_times(phrase, text)))
 
     # -- eviction ----------------------------------------------------------
 

@@ -172,12 +172,15 @@ class TranscriptionServer:
                         {"event": "interim", "text": fut[1]}, ensure_ascii=False))
                     continue
                 phrase = await asyncio.wrap_future(fut) if hasattr(fut, "result") else fut
-                await websocket.send(json.dumps({
+                event = {
                     "event": "transcript",
                     "text": phrase.text,
                     "start_time": phrase.start_time,
                     "end_time": phrase.end_time,
-                }, ensure_ascii=False))
+                }
+                if getattr(phrase, "words", None) is not None:
+                    event["words"] = [vars(w) for w in phrase.words]
+                await websocket.send(json.dumps(event, ensure_ascii=False))
             except Exception:  # noqa: BLE001 — never kill the sender loop
                 logger.exception("failed to deliver phrase")
             finally:
@@ -261,6 +264,9 @@ def main() -> None:
                              "words/phrases (or @file, one per line) to bias "
                              "finals AND interim beam decoding toward")
     parser.add_argument("--hotword-weight", type=float, default=10.0)
+    parser.add_argument("--word-times", action="store_true",
+                        help="transcript events carry per-word times + "
+                             "confidences (CTC forced alignment)")
     parser.add_argument("--interim", action="store_true",
                         help="stream partial (in-progress phrase) transcripts "
                              "as {'event': 'interim'} messages")
@@ -321,7 +327,8 @@ def main() -> None:
                                interim_beam_width=args.interim_beam_width,
                                interim_beam_max_len=args.interim_beam_max_len,
                                idle_evict_seconds=args.idle_evict_seconds,
-                               force_evict_grace=args.force_evict_grace)
+                               force_evict_grace=args.force_evict_grace,
+                               word_timestamps=args.word_times)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
