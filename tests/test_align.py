@@ -68,6 +68,30 @@ def test_alignment_matches_any_decoder_text():
             assert 0 <= f0 <= f1 < 30 and 0.0 < conf <= 1.0
 
 
+def test_offline_transcriber_word_timestamps():
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.offline import OfflineTranscriber
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    audio = np.random.default_rng(0).integers(
+        -20000, 20000, 8000).astype(np.int32)
+    phrases = OfflineTranscriber(variables, cfg,
+                                 word_timestamps=True).transcribe([audio])[0]
+    assert any(p.text for p in phrases)
+    for p in phrases:
+        if p.text:
+            assert p.words and " ".join(w.word for w in p.words) == p.text
+
+
 def test_engine_word_timestamps():
     """MultiStreamEngine(word_timestamps=True) attaches words to final
     phrases (both the host-pool and batched-device decode paths)."""

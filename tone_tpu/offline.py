@@ -37,6 +37,7 @@ class OfflineTranscriber:
     bucket_samples: int = 8 * 2400  # pad lengths up to multiples of this
     use_offline_forward: bool = False  # full-sequence graph instead of the scan
     mesh: object = None  # jax.sharding.Mesh: shard batches over its 'data' axis
+    word_timestamps: bool = False  # per-word times + confidences on phrases
 
     def __post_init__(self):
         if self.decoder is None:
@@ -191,4 +192,20 @@ class OfflineTranscriber:
         bias = cfg.mean_time_bias + cfg.padding / cfg.frontend.sample_rate
         start = max(0.0, round(logprob_phrase.start_frame * cfg.frame_size - bias, 2))
         end = max(start, round(logprob_phrase.end_frame * cfg.frame_size - bias, 2))
-        return TextPhrase(text=text, start_time=start, end_time=end)
+        words = None
+        if self.word_timestamps and text:
+            from tone_tpu.align import WordTiming, align_words
+
+            words = tuple(
+                WordTiming(
+                    word=w,
+                    start_time=max(0.0, round(
+                        (logprob_phrase.start_frame + f0) * cfg.frame_size
+                        - bias, 2)),
+                    end_time=max(0.0, round(
+                        (logprob_phrase.start_frame + f1 + 1) * cfg.frame_size
+                        - bias, 2)),
+                    confidence=round(conf, 4),
+                )
+                for w, f0, f1, conf in align_words(logprob_phrase.logprobs, text))
+        return TextPhrase(text=text, start_time=start, end_time=end, words=words)
