@@ -72,15 +72,23 @@ def viterbi_align(logprobs: np.ndarray, label_ids,
     if s_max > 1:
         alpha[1] = emit[0, 1]
     psi = np.zeros((t_max, s_max), np.int8)
+    # preallocated scratch: the T-loop is the whole cost (a force-split
+    # phrase is 2000 frames x ~4000 states), so avoid per-step allocation
+    prev = np.empty(s_max, np.float32)
+    skip = np.empty(s_max, np.float32)
+    best = np.empty(s_max, np.float32)
+    skip_base = np.where(can_skip, 0.0, NEG).astype(np.float32)
     for t in range(1, t_max):
-        stay = alpha
-        prev = np.concatenate(([NEG], alpha[:-1]))
-        skip = np.concatenate(([NEG, NEG], alpha[:-2]))
-        skip = np.where(can_skip, skip, NEG)
-        choice = np.argmax(np.stack([stay, prev, skip]), axis=0).astype(np.int8)
-        best = np.maximum(stay, np.maximum(prev, skip))
-        psi[t] = choice
-        alpha = best + emit[t]
+        prev[0] = NEG
+        prev[1:] = alpha[:-1]
+        skip[:2] = NEG
+        np.add(alpha[:-2], skip_base[2:], out=skip[2:])
+        row = psi[t]
+        np.greater(prev, alpha, out=row.view(bool))   # 1 where prev wins stay
+        np.maximum(alpha, prev, out=best)
+        np.copyto(row, 2, where=skip > best)
+        np.maximum(best, skip, out=best)
+        np.add(best, emit[t], out=alpha)
 
     s = int(np.argmax(alpha[s_max - 2:])) + s_max - 2 if s_max > 1 else 0
     if alpha[s] <= NEG:

@@ -569,8 +569,23 @@ class MultiStreamEngine:
         for (fut, phrase), text in zip(items, texts):
             start, end = self._phrase_times(phrase)
             self.stats.phrases_decoded += 1
-            fut.set_result(TextPhrase(text=text, start_time=start, end_time=end,
-                                      words=self._word_times(phrase, text)))
+            if self.word_timestamps and text:
+                # Forced alignment is host CPU work (up to ~85 ms for a
+                # 2000-frame force-split phrase) — run it on the decode
+                # pool, not the tick thread.
+                def finish(fut=fut, phrase=phrase, text=text,
+                           start=start, end=end):
+                    try:
+                        fut.set_result(TextPhrase(
+                            text=text, start_time=start, end_time=end,
+                            words=self._word_times(phrase, text)))
+                    except BaseException as e:  # noqa: BLE001
+                        fut.set_exception(e)
+
+                self._decode_pool.submit(finish)
+            else:
+                fut.set_result(TextPhrase(text=text, start_time=start,
+                                          end_time=end))
 
     # -- eviction ----------------------------------------------------------
 
