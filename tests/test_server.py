@@ -61,6 +61,44 @@ def test_ws_server_two_concurrent_clients():
     asyncio.run(main())
 
 
+def test_ws_transcript_event_carries_words():
+    """A word-times engine's transcript events include the words array
+    (times + confidences); without the flag the field is absent."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    async def run(word_timestamps):
+        engine = MultiStreamEngine(variables, cfg, n_slots=2,
+                                   word_timestamps=word_timestamps)
+        server = TranscriptionServer(engine, tick_seconds=0.02)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws_server:
+                port = ws_server.sockets[0].getsockname()[1]
+                rng = np.random.default_rng(0)
+                audio = rng.integers(-20000, 20000, 2400 * 4).astype(np.int16)
+                return await _client(port, audio)
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    rich = [m for m in asyncio.run(run(True)) if m["text"]]
+    assert rich, "no non-empty transcript"
+    for m in rich:
+        assert " ".join(w["word"] for w in m["words"]) == m["text"]
+        for w in m["words"]:
+            assert 0.0 <= w["start_time"] <= w["end_time"]
+            assert 0.0 < w["confidence"] <= 1.0
+    plain = [m for m in asyncio.run(run(False)) if m["text"]]
+    assert plain and all("words" not in m for m in plain)
+
+
 @pytest.mark.slow
 def test_ws_server_capacity_rejection():
     """With every slot held by a live stream, a new connection is refused
