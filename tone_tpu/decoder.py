@@ -205,6 +205,18 @@ class BeamSearchCTCDecoder:
             hotwords=self._hotwords,
         )
 
+    def nbest(self, logprobs: "npt.NDArray[np.float32]",
+              n: int = 8) -> list[tuple[str, float]]:
+        """Up to ``n`` alternative transcripts with scores, best first —
+        the capability the reference's decode library exposes as
+        pyctcdecode ``decode_beams`` (unused by the reference pipeline).
+        Scores are natural-log acoustic + LM (+hotword) totals."""
+        _validate_logprobs(logprobs)
+        search = self.streaming()
+        search.advance(np.asarray(logprobs,
+                                  np.float32 if self._use_native else np.float64))
+        return search.nbest(n)
+
     def streaming(self):
         """A carried-state decoder for incremental transcription: feed
         logprob frames as they arrive with ``advance(logprobs)``, read the
@@ -261,7 +273,7 @@ class DeviceBeamSearchCTCDecoder:
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
-        self.nbest = nbest
+        self.nbest_hyps = nbest
         self.max_len = max_len
         self.fusion = fusion and lm is not None
         self._hotwords = None
@@ -315,6 +327,49 @@ class DeviceBeamSearchCTCDecoder:
     def forward(self, logprobs: "npt.NDArray[np.float32]") -> str:
         _validate_logprobs(logprobs)
         return self.forward_batch([logprobs])[0]
+
+    def nbest(self, logprobs: "npt.NDArray[np.float32]",
+              n: int | None = None) -> list[tuple[str, float]]:
+        """Up to ``n`` (default: the decoder's nbest) alternative
+        transcripts with scores from the device search, LM-rescored when an
+        LM is configured (fusion mode ranks with the fused score)."""
+        _validate_logprobs(logprobs)
+        n = n or self.nbest_hyps
+        padded, lengths = self._pad_batch([np.ascontiguousarray(logprobs)])
+
+        if self.fusion:
+            from tone_tpu.ops.beam_decode import (
+                fused_beam_advance, fused_beam_nbest, init_fused_beam_state)
+
+            state = init_fused_beam_state(padded.shape[0], self.beam_width,
+                                          self._lm, self.max_len,
+                                          hotwords=self._hotwords)
+            state = fused_beam_advance(state, padded, self._lm_arrays,
+                                       lengths, alpha=self.alpha,
+                                       beta=self.beta, hotwords=self._hotwords)
+            return fused_beam_nbest(state, self._lm, n,
+                                    alpha=self.alpha, beta=self.beta)[0]
+
+        from tone_tpu.decoding.rescore import rescore_nbest
+
+        if self._hotwords is not None:
+            from tone_tpu.ops.beam_decode import (
+                hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
+
+            state = init_hot_beam_state(padded.shape[0], self.beam_width,
+                                        self.max_len)
+            state = hot_beam_advance(state, padded, lengths,
+                                     hotwords=self._hotwords)
+            hyps = hot_beam_nbest(state, n)[0]
+        else:
+            from tone_tpu.ops.beam_decode import (
+                beam_advance, beam_nbest, init_beam_state)
+
+            state = init_beam_state(padded.shape[0], self.beam_width,
+                                    self.max_len)
+            state = beam_advance(state, padded, lengths)
+            hyps = beam_nbest(state, n)[0]
+        return rescore_nbest(hyps, self._lm, alpha=self.alpha, beta=self.beta)
 
     @staticmethod
     def _t_bucket(frames: int) -> int:
@@ -394,7 +449,7 @@ class DeviceBeamSearchCTCDecoder:
                                         self.max_len)
             state = hot_beam_advance(state, padded, lengths,
                                      hotwords=self._hotwords)
-            nbest = hot_beam_nbest(state, self.nbest)
+            nbest = hot_beam_nbest(state, self.nbest_hyps)
         else:
             from tone_tpu.ops.beam_decode import (
                 beam_advance, beam_nbest, init_beam_state)
@@ -402,7 +457,7 @@ class DeviceBeamSearchCTCDecoder:
             state = init_beam_state(padded.shape[0], self.beam_width,
                                     self.max_len)
             state = beam_advance(state, padded, lengths)
-            nbest = beam_nbest(state, self.nbest)
+            nbest = beam_nbest(state, self.nbest_hyps)
         out = []
         for hyps in nbest[:n]:
             ranked = rescore_nbest(hyps, self._lm,

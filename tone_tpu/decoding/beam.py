@@ -203,12 +203,33 @@ class StreamingBeamSearch:
         """Best hypothesis so far: trailing partial words get their final LM
         score for the ranking (non-destructive — advancing may still change
         the outcome)."""
+        return self.nbest(1)[0][0]
+
+    def nbest(self, n: int) -> list[tuple[str, float]]:
+        """Up to ``n`` (text, score) hypotheses, best first — the
+        pyctcdecode ``decode_beams`` capability.  Scores are natural-log
+        acoustic + LM/hotword totals with the trailing partial word's
+        provisional LM score applied, i.e. the same ranking ``result``
+        uses.  Distinct beams can collapse to the same stripped text
+        (trailing-space twins); only the best-scoring one is kept."""
         def final_key(b: _Beam):
             return (-(b.total() + self._lm_word_score(b.context, b.partial)),
                     b.text + b.partial)
 
-        best = min(self._beams.values(), key=final_key)
-        return (best.text + best.partial).strip()
+        out: list[tuple[str, float]] = []
+        seen: set[str] = set()
+        for b in sorted(self._beams.values(), key=final_key):
+            text = (b.text + b.partial).strip()
+            if text in seen:
+                continue
+            seen.add(text)
+            score = b.total() + self._lm_word_score(b.context, b.partial)
+            if score == NEG_INF and out:
+                break  # placeholder beams
+            out.append((text, float(score)))
+            if len(out) >= n:
+                break
+        return out
 
 
 def ctc_beam_search(

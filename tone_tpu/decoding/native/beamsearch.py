@@ -89,6 +89,9 @@ def _load() -> ctypes.CDLL | None:
             lib.tone_beam_result.restype = ctypes.c_int
             lib.tone_beam_result.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+            lib.tone_beam_nbest.restype = ctypes.c_int
+            lib.tone_beam_nbest.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
             lib.tone_beam_reset.argtypes = [ctypes.c_void_p]
             lib.tone_beam_free.argtypes = [ctypes.c_void_p]
             _lib = lib
@@ -209,6 +212,19 @@ class NativeStreamingBeam:
         if n < 0:
             raise RuntimeError("native streaming beam result failed")
         return self._buf.value.decode("utf-8")
+
+    def nbest(self, n: int) -> list[tuple[str, float]]:
+        """Up to ``n`` (text, score) hypotheses, best first (same ranking as
+        the Python twin's nbest)."""
+        rc = self._lib.tone_beam_nbest(self._handle, n, self._buf,
+                                       len(self._buf))
+        if rc < 0:
+            raise RuntimeError("native streaming beam nbest failed")
+        out = []
+        for line in self._buf.value.decode("utf-8").splitlines():
+            score, _, text = line.partition("\t")
+            out.append((text, float(score)))
+        return out
 
     def reset(self) -> None:
         self._lib.tone_beam_reset(self._handle)

@@ -10,6 +10,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <memory>
@@ -592,6 +593,9 @@ struct StreamingBeamSearch {
 
   void advance(const float* logprobs, int t_max, int n_classes);
   std::string result() const;
+  // up to n (score, text) pairs, best first, stripped and deduplicated —
+  // the same final ranking result() uses
+  std::vector<std::pair<double, std::string>> nbest(int n) const;
 };
 
 std::string beam_search(const Decoder& dec, const float* logprobs, int t_max,
@@ -773,6 +777,39 @@ std::string StreamingBeamSearch::result() const {
   return text.substr(a, z - a + 1);
 }
 
+std::vector<std::pair<double, std::string>> StreamingBeamSearch::nbest(
+    int n) const {
+  std::vector<std::pair<double, std::string>> scored;
+  scored.reserve(beams.size());
+  for (const Beam& b : beams) {
+    double s = b.total();
+    if (lm != nullptr && (int)b.seq.size() > b.word_start) {
+      std::string w = word_of(dec, b.seq, b.word_start, (int)b.seq.size());
+      s += lm_word_contrib(lm, alpha, beta, b.ctx, lm->word_id(w));
+    }
+    std::string text;
+    for (int32_t id : b.seq) text += dec.labels[id];
+    size_t a = text.find_first_not_of(' ');
+    size_t z = text.find_last_not_of(' ');
+    text = a == std::string::npos ? "" : text.substr(a, z - a + 1);
+    scored.emplace_back(s, std::move(text));
+  }
+  std::sort(scored.begin(), scored.end(), [](const auto& x, const auto& y) {
+    if (x.first != y.first) return x.first > y.first;
+    return x.second < y.second;
+  });
+  // dedup stripped-text twins, keep the best-scoring
+  std::vector<std::pair<double, std::string>> out;
+  for (auto& p : scored) {
+    if ((int)out.size() >= n) break;
+    if (p.first <= -1e30 && !out.empty()) break;  // placeholder beams
+    bool dup = false;
+    for (const auto& q : out) dup |= q.second == p.second;
+    if (!dup) out.push_back(std::move(p));
+  }
+  return out;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -874,6 +911,25 @@ int tone_beam_result(void* handle, char* out, int out_cap) {
   if ((int)text.size() + 1 > out_cap) return -1;
   std::memcpy(out, text.c_str(), text.size() + 1);
   return (int)text.size();
+}
+
+// Up to n hypotheses, best first, serialized as "score\ttext\n" lines.
+// Returns bytes written (excluding NUL), or -1 on error / short buffer.
+int tone_beam_nbest(void* handle, int n, char* out, int out_cap) {
+  if (handle == nullptr || n < 1) return -1;
+  auto hyps = static_cast<StreamingBeamSearch*>(handle)->nbest(n);
+  std::string blob;
+  for (const auto& p : hyps) {
+    char score[64];
+    std::snprintf(score, sizeof(score), "%.10g", p.first);
+    blob += score;
+    blob += '\t';
+    blob += p.second;
+    blob += '\n';
+  }
+  if ((int)blob.size() + 1 > out_cap) return -1;
+  std::memcpy(out, blob.c_str(), blob.size() + 1);
+  return (int)blob.size();
 }
 
 // Restart the search (keeps labels/LM/params).
