@@ -68,6 +68,33 @@ def test_alignment_matches_any_decoder_text():
             assert 0 <= f0 <= f1 < 30 and 0.0 < conf <= 1.0
 
 
+def test_device_batch_alignment_equals_host():
+    """The on-device batched aligner returns the exact host spans and
+    confidences — mixed phrase lengths across (T, S) buckets, beam-decoded
+    texts, one device call per bucket."""
+    from tone_tpu.decoding.beam import ctc_beam_search
+    from tone_tpu.ops.align_device import align_words_batch
+
+    rng = np.random.default_rng(5)
+    lps, texts = [], []
+    for t in (12, 30, 75, 30, 140, 12):
+        logits = rng.normal(0, 2.5, (t, len(LABELS) + 1))
+        lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+              ).astype(np.float32)
+        lps.append(lp)
+        texts.append(ctc_beam_search(lp.astype(np.float64), LABELS,
+                                     beam_width=6))
+    texts[3] = ""  # empty-text row inside a batch
+
+    got = align_words_batch(lps, texts)
+    for lp, text, words in zip(lps, texts, got):
+        want = align_words(lp, text)
+        assert [w[:3] for w in words] == [w[:3] for w in want], text
+        np.testing.assert_allclose([w[3] for w in words],
+                                   [w[3] for w in want], rtol=1e-5)
+    assert got[3] == []
+
+
 def test_offline_transcriber_word_timestamps():
     import sys
     from pathlib import Path

@@ -167,34 +167,42 @@ class OfflineTranscriber:
             phrases, _ = self._splitter.forward(row_lp, None, is_last=True)
             split.append((i, phrases))
 
+        flat = [p for _, phrases in split for p in phrases]
         forward_batch = getattr(self.decoder, "forward_batch", None)
         if forward_batch is not None:
             # Device decoder: all phrases of the batch in one call.
-            flat = [np.ascontiguousarray(p.logprobs)
-                    for _, phrases in split for p in phrases]
-            texts = iter(forward_batch(flat))
-            for i, phrases in split:
-                results[i] = [self._to_text_phrase(p, next(texts))
-                              for p in phrases]
+            texts = forward_batch([np.ascontiguousarray(p.logprobs)
+                                   for p in flat])
         else:
-            for i, phrases in split:
-                results[i] = [self._to_text_phrase(p) for p in phrases]
+            texts = [self.decoder.forward(np.ascontiguousarray(p.logprobs))
+                     for p in flat]
+
+        word_spans = [None] * len(flat)
+        if self.word_timestamps:
+            # All phrases of the batch align in one device call per (T, S)
+            # bucket — the batched twin of tone_tpu/align.py.
+            from tone_tpu.ops.align_device import align_words_batch
+
+            word_spans = align_words_batch([p.logprobs for p in flat], texts)
+
+        it = iter(zip(texts, word_spans))
+        for i, phrases in split:
+            results[i] = [self._to_text_phrase(p, *next(it)) for p in phrases]
 
     def forward_offline(self, audio: np.ndarray) -> list[TextPhrase]:
         """Single-utterance convenience; duck-types ``StreamingCTCPipeline``
         (so e.g. ``tone_tpu.eval.evaluate_pipeline`` accepts a transcriber)."""
         return self.transcribe([audio])[0]
 
-    def _to_text_phrase(self, logprob_phrase, text: str | None = None) -> TextPhrase:
+    def _to_text_phrase(self, logprob_phrase, text: str,
+                        spans=None) -> TextPhrase:
         cfg = self.config
-        if text is None:
-            text = self.decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
         bias = cfg.mean_time_bias + cfg.padding / cfg.frontend.sample_rate
         start = max(0.0, round(logprob_phrase.start_frame * cfg.frame_size - bias, 2))
         end = max(start, round(logprob_phrase.end_frame * cfg.frame_size - bias, 2))
         words = None
-        if self.word_timestamps and text:
-            from tone_tpu.align import WordTiming, align_words
+        if spans and self.word_timestamps:
+            from tone_tpu.align import WordTiming
 
             words = tuple(
                 WordTiming(
@@ -207,5 +215,5 @@ class OfflineTranscriber:
                         - bias, 2)),
                     confidence=round(conf, 4),
                 )
-                for w, f0, f1, conf in align_words(logprob_phrase.logprobs, text))
+                for w, f0, f1, conf in spans)
         return TextPhrase(text=text, start_time=start, end_time=end, words=words)
