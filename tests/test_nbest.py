@@ -81,6 +81,32 @@ def test_device_nbest():
     assert hyps_hot and hyps_hot[0][0] == hot.forward(lp)
 
 
+def test_device_nbest_dedup_and_top1_with_rescoring():
+    """Device nbest collapses stripped-text twins and, for n below the
+    decoder's pool, still rescoring-ranks the FULL pool so top-1 agrees
+    with forward()."""
+    from tone_tpu.decoding.estimate import estimate_ngram_lm
+    from tone_tpu.decoding.lm import ArpaLM
+
+    tables = estimate_ngram_lm([["мир", "дом"], ["дом"], ["мир"]], order=2)
+    dec = DeviceBeamSearchCTCDecoder(ArpaLM(tables), beam_width=16, nbest=8)
+    rng = np.random.default_rng(6)
+    for _ in range(4):
+        lp = _random_lp(rng)
+        hyps = dec.nbest(lp, 2)
+        assert hyps[0][0] == dec.forward(lp)
+        texts = [t for t, _ in dec.nbest(lp, 8)]
+        assert len(set(texts)) == len(texts)
+
+
+def test_device_align_infeasible_raises():
+    from tone_tpu.ops.align_device import align_words_batch
+
+    lp = np.full((2, V), np.log(1.0 / V), np.float32)
+    with pytest.raises(ValueError, match="cannot align"):
+        align_words_batch([lp], ["мир"])
+
+
 def test_device_nbest_fusion():
     from tone_tpu.decoding.device_lm import DeviceLM
     from tone_tpu.decoding.estimate import estimate_ngram_lm

@@ -37,6 +37,26 @@ class WordTiming:
     confidence: float
 
 
+def spans_to_word_timings(spans, start_frame: int, frame_size: float,
+                          bias: float) -> tuple[WordTiming, ...]:
+    """Word spans (from :func:`align_words` /
+    ``ops.align_device.align_words_batch``) → absolute-time WordTimings.
+
+    The one place the frame→seconds arithmetic lives (pipeline, bulk
+    transcriber, and serving engine all call it).  Confidence is floored at
+    1e-6 so it stays in (0, 1] after rounding."""
+    return tuple(
+        WordTiming(
+            word=w,
+            start_time=max(0.0, round(
+                (start_frame + f0) * frame_size - bias, 2)),
+            end_time=max(0.0, round(
+                (start_frame + f1 + 1) * frame_size - bias, 2)),
+            confidence=max(round(conf, 6), 1e-6),
+        )
+        for w, f0, f1, conf in spans)
+
+
 def viterbi_align(logprobs: np.ndarray, label_ids,
                   blank_id: int = BLANK_ID) -> list[tuple[int, int, int]]:
     """Best CTC path for ``label_ids`` through (T, V) natural-log probs.

@@ -332,9 +332,14 @@ class DeviceBeamSearchCTCDecoder:
               n: int | None = None) -> list[tuple[str, float]]:
         """Up to ``n`` (default: the decoder's nbest) alternative
         transcripts with scores from the device search, LM-rescored when an
-        LM is configured (fusion mode ranks with the fused score)."""
+        LM is configured (fusion mode ranks with the fused score).
+        Stripped-text duplicates (trailing-space twins) are collapsed to
+        the best-scoring, matching the host decoders' nbest."""
         _validate_logprobs(logprobs)
         n = n or self.nbest_hyps
+        # rescoring reorders: rank the FULL device pool, truncate after —
+        # so nbest(lp, k)[0] always agrees with forward(lp)
+        pool = max(n, self.nbest_hyps)
         padded, lengths = self._pad_batch([np.ascontiguousarray(logprobs)])
 
         if self.fusion:
@@ -347,29 +352,40 @@ class DeviceBeamSearchCTCDecoder:
             state = fused_beam_advance(state, padded, self._lm_arrays,
                                        lengths, alpha=self.alpha,
                                        beta=self.beta, hotwords=self._hotwords)
-            return fused_beam_nbest(state, self._lm, n,
-                                    alpha=self.alpha, beta=self.beta)[0]
-
-        from tone_tpu.decoding.rescore import rescore_nbest
-
-        if self._hotwords is not None:
-            from tone_tpu.ops.beam_decode import (
-                hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
-
-            state = init_hot_beam_state(padded.shape[0], self.beam_width,
-                                        self.max_len)
-            state = hot_beam_advance(state, padded, lengths,
-                                     hotwords=self._hotwords)
-            hyps = hot_beam_nbest(state, n)[0]
+            ranked = fused_beam_nbest(state, self._lm, pool,
+                                      alpha=self.alpha, beta=self.beta)[0]
         else:
-            from tone_tpu.ops.beam_decode import (
-                beam_advance, beam_nbest, init_beam_state)
+            from tone_tpu.decoding.rescore import rescore_nbest
 
-            state = init_beam_state(padded.shape[0], self.beam_width,
-                                    self.max_len)
-            state = beam_advance(state, padded, lengths)
-            hyps = beam_nbest(state, n)[0]
-        return rescore_nbest(hyps, self._lm, alpha=self.alpha, beta=self.beta)
+            if self._hotwords is not None:
+                from tone_tpu.ops.beam_decode import (
+                    hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
+
+                state = init_hot_beam_state(padded.shape[0], self.beam_width,
+                                            self.max_len)
+                state = hot_beam_advance(state, padded, lengths,
+                                         hotwords=self._hotwords)
+                hyps = hot_beam_nbest(state, pool)[0]
+            else:
+                from tone_tpu.ops.beam_decode import (
+                    beam_advance, beam_nbest, init_beam_state)
+
+                state = init_beam_state(padded.shape[0], self.beam_width,
+                                        self.max_len)
+                state = beam_advance(state, padded, lengths)
+                hyps = beam_nbest(state, pool)[0]
+            ranked = rescore_nbest(hyps, self._lm,
+                                   alpha=self.alpha, beta=self.beta)
+        out: list[tuple[str, float]] = []
+        seen: set[str] = set()
+        for text, score in ranked:
+            if text in seen:
+                continue
+            seen.add(text)
+            out.append((text, score))
+            if len(out) >= n:
+                break
+        return out
 
     @staticmethod
     def _t_bucket(frames: int) -> int:

@@ -216,12 +216,18 @@ class NativeStreamingBeam:
     def nbest(self, n: int) -> list[tuple[str, float]]:
         """Up to ``n`` (text, score) hypotheses, best first (same ranking as
         the Python twin's nbest)."""
-        rc = self._lib.tone_beam_nbest(self._handle, n, self._buf,
-                                       len(self._buf))
-        if rc < 0:
-            raise RuntimeError("native streaming beam nbest failed")
+        # n long hypotheses can exceed the 64 KiB result buffer (a
+        # force-split phrase is ~4 KiB of UTF-8): grow and retry.
+        buf = self._buf
+        while True:
+            rc = self._lib.tone_beam_nbest(self._handle, n, buf, len(buf))
+            if rc >= 0:
+                break
+            if len(buf) >= 1 << 24:
+                raise RuntimeError("native streaming beam nbest failed")
+            buf = ctypes.create_string_buffer(len(buf) * 4)
         out = []
-        for line in self._buf.value.decode("utf-8").splitlines():
+        for line in buf.value.decode("utf-8").splitlines():
             score, _, text = line.partition("\t")
             out.append((text, float(score)))
         return out

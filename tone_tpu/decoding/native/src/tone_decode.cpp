@@ -17,6 +17,7 @@
 #include <stdexcept>
 #include <sstream>
 #include <string>
+#include <tuple>
 #include <unordered_map>
 #include <vector>
 
@@ -779,7 +780,9 @@ std::string StreamingBeamSearch::result() const {
 
 std::vector<std::pair<double, std::string>> StreamingBeamSearch::nbest(
     int n) const {
-  std::vector<std::pair<double, std::string>> scored;
+  // (score, unstripped text, stripped text): ties break on the UNSTRIPPED
+  // text, matching the Python twin's (text + partial) tie-break exactly.
+  std::vector<std::tuple<double, std::string, std::string>> scored;
   scored.reserve(beams.size());
   for (const Beam& b : beams) {
     double s = b.total();
@@ -787,25 +790,25 @@ std::vector<std::pair<double, std::string>> StreamingBeamSearch::nbest(
       std::string w = word_of(dec, b.seq, b.word_start, (int)b.seq.size());
       s += lm_word_contrib(lm, alpha, beta, b.ctx, lm->word_id(w));
     }
-    std::string text;
-    for (int32_t id : b.seq) text += dec.labels[id];
-    size_t a = text.find_first_not_of(' ');
-    size_t z = text.find_last_not_of(' ');
-    text = a == std::string::npos ? "" : text.substr(a, z - a + 1);
-    scored.emplace_back(s, std::move(text));
+    std::string raw;
+    for (int32_t id : b.seq) raw += dec.labels[id];
+    size_t a = raw.find_first_not_of(' ');
+    size_t z = raw.find_last_not_of(' ');
+    std::string text = a == std::string::npos ? "" : raw.substr(a, z - a + 1);
+    scored.emplace_back(s, std::move(raw), std::move(text));
   }
   std::sort(scored.begin(), scored.end(), [](const auto& x, const auto& y) {
-    if (x.first != y.first) return x.first > y.first;
-    return x.second < y.second;
+    if (std::get<0>(x) != std::get<0>(y)) return std::get<0>(x) > std::get<0>(y);
+    return std::get<1>(x) < std::get<1>(y);
   });
   // dedup stripped-text twins, keep the best-scoring
   std::vector<std::pair<double, std::string>> out;
   for (auto& p : scored) {
     if ((int)out.size() >= n) break;
-    if (p.first <= -1e30 && !out.empty()) break;  // placeholder beams
+    if (std::get<0>(p) <= -1e30 && !out.empty()) break;  // placeholder beams
     bool dup = false;
-    for (const auto& q : out) dup |= q.second == p.second;
-    if (!dup) out.push_back(std::move(p));
+    for (const auto& q : out) dup |= q.second == std::get<2>(p);
+    if (!dup) out.emplace_back(std::get<0>(p), std::move(std::get<2>(p)));
   }
   return out;
 }

@@ -202,18 +202,8 @@ class OfflineTranscriber:
         end = max(start, round(logprob_phrase.end_frame * cfg.frame_size - bias, 2))
         words = None
         if spans and self.word_timestamps:
-            from tone_tpu.align import WordTiming
+            from tone_tpu.align import spans_to_word_timings
 
-            words = tuple(
-                WordTiming(
-                    word=w,
-                    start_time=max(0.0, round(
-                        (logprob_phrase.start_frame + f0) * cfg.frame_size
-                        - bias, 2)),
-                    end_time=max(0.0, round(
-                        (logprob_phrase.start_frame + f1 + 1) * cfg.frame_size
-                        - bias, 2)),
-                    confidence=round(conf, 4),
-                )
-                for w, f0, f1, conf in spans)
+            words = spans_to_word_timings(
+                spans, logprob_phrase.start_frame, cfg.frame_size, bias)
         return TextPhrase(text=text, start_time=start, end_time=end, words=words)

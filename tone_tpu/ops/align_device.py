@@ -112,6 +112,11 @@ def align_words_batch(logprobs_list, texts,
         if not words:
             continue
         ids = np.array([LABELS.index(c) for c in " ".join(words)], np.int32)
+        # host-parity feasibility check (viterbi_align raises the same)
+        needed = len(ids) + int(np.sum(ids[1:] == ids[:-1]))
+        if lp.shape[0] < needed:
+            raise ValueError(
+                f"{len(ids)} labels cannot align to {lp.shape[0]} frames")
         ext = np.full(2 * len(ids) + 1, blank_id, np.int32)
         ext[1::2] = ids
         exts[i] = ext
@@ -162,6 +167,8 @@ def align_words_batch(logprobs_list, texts,
                           int(e[2 * (ci + k) + 1]))
                          for k in range(len(word))]
                 ci += len(word) + 1
+                if any(f0 < 0 for f0, _, _ in spans):
+                    raise ValueError("no feasible CTC alignment")
                 logp = float(np.mean([lp_i[f, c]
                                       for f0, f1, c in spans
                                       for f in range(f0, f1 + 1)]))

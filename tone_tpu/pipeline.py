@@ -177,20 +177,11 @@ class StreamingCTCPipeline:
             logprob_phrase.end_frame * frame_size - time_bias - pad_s, 2))
         words = None
         if self.word_timestamps and text:
-            from tone_tpu.align import WordTiming, align_words
+            from tone_tpu.align import align_words, spans_to_word_timings
 
-            words = tuple(
-                WordTiming(
-                    word=w,
-                    start_time=max(0.0, round(
-                        (logprob_phrase.start_frame + f0) * frame_size
-                        - time_bias - pad_s, 2)),
-                    end_time=max(0.0, round(
-                        (logprob_phrase.start_frame + f1 + 1) * frame_size
-                        - time_bias - pad_s, 2)),
-                    confidence=round(conf, 4),
-                )
-                for w, f0, f1, conf in align_words(logprob_phrase.logprobs, text))
+            words = spans_to_word_timings(
+                align_words(logprob_phrase.logprobs, text),
+                logprob_phrase.start_frame, frame_size, time_bias + pad_s)
         return TextPhrase(text=text, start_time=start_time,
                           end_time=end_time, words=words)
 

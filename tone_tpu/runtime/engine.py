@@ -531,20 +531,13 @@ class MultiStreamEngine:
     def _word_times(self, logprob_phrase, text: str):
         if not (self.word_timestamps and text):
             return None
-        from tone_tpu.align import WordTiming, align_words
+        from tone_tpu.align import align_words, spans_to_word_timings
 
-        frame_size = 0.03
-        bias = self.config.mean_time_bias + self.config.padding / 8000
-        return tuple(
-            WordTiming(
-                word=w,
-                start_time=max(0.0, round(
-                    (logprob_phrase.start_frame + f0) * frame_size - bias, 2)),
-                end_time=max(0.0, round(
-                    (logprob_phrase.start_frame + f1 + 1) * frame_size - bias, 2)),
-                confidence=round(conf, 4),
-            )
-            for w, f0, f1, conf in align_words(logprob_phrase.logprobs, text))
+        bias = (self.config.mean_time_bias
+                + self.config.padding / self.config.frontend.sample_rate)
+        return spans_to_word_timings(
+            align_words(logprob_phrase.logprobs, text),
+            logprob_phrase.start_frame, self.config.frame_size, bias)
 
     def _decode(self, logprob_phrase) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder
@@ -582,7 +575,12 @@ class MultiStreamEngine:
                     except BaseException as e:  # noqa: BLE001
                         fut.set_exception(e)
 
-                self._decode_pool.submit(finish)
+                try:
+                    self._decode_pool.submit(finish)
+                except RuntimeError:
+                    # pool already shut down mid-tick: resolve inline so no
+                    # caller blocked on fut.result() hangs forever
+                    finish()
             else:
                 fut.set_result(TextPhrase(text=text, start_time=start,
                                           end_time=end))
