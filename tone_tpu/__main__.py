@@ -104,6 +104,9 @@ def main() -> None:
     p_tr.add_argument("--word-times", action="store_true",
                       help="word-level timestamps + confidences via CTC "
                            "forced alignment")
+    p_tr.add_argument("--batch-size", type=int, default=0,
+                      help=">0: batch files through the bulk transcriber "
+                           "(device-batched acoustics/decodes/alignment)")
     _add_model_args(p_tr)
 
     p_srv = sub.add_parser("serve", help="websocket ASR server")
@@ -187,8 +190,20 @@ def main() -> None:
             return d
 
         pipeline = _build_pipeline(args)
-        for path in args.files:
-            phrases = pipeline.forward_offline(read_audio(path))
+        if args.batch_size > 0:
+            from tone_tpu.offline import OfflineTranscriber
+
+            transcriber = OfflineTranscriber(
+                pipeline.model.variables, pipeline.model.config,
+                decoder=pipeline.decoder, batch_size=args.batch_size,
+                word_timestamps=args.word_times)
+            all_phrases = transcriber.transcribe(
+                [read_audio(p) for p in args.files])
+        else:
+            all_phrases = None
+        for k, path in enumerate(args.files):
+            phrases = (all_phrases[k] if all_phrases is not None
+                       else pipeline.forward_offline(read_audio(path)))
             if args.json:
                 print(json.dumps({
                     "file": str(path),
