@@ -155,6 +155,13 @@ def main() -> None:
     p_lm.add_argument("--order", type=int, default=3)
     p_lm.add_argument("--binary", choices=["probing", "trie"], default="probing",
                       help="binary flavor when out is not .arpa")
+    p_lm.add_argument("--quant", type=int, nargs=2, metavar=("PROB", "BACKOFF"),
+                      default=None,
+                      help="with --binary trie: quantize probs/backoffs to "
+                           "this many bits (build_binary -q/-b)")
+    p_lm.add_argument("--bhiksha", type=int, default=None,
+                      help="with --binary trie: Bhiksha pointer compression "
+                           "up to this many bits (build_binary -a)")
     p_lm.add_argument("--prune", type=int, nargs="+", default=None,
                       help="per-order count thresholds (lmplz --prune)")
     p_lm.add_argument("--ppl", type=Path, default=None,
@@ -277,12 +284,16 @@ def main() -> None:
         with open(args.corpus, encoding="utf-8") as f:
             tables = estimate_from_text(f, order=args.order, prune=args.prune)
         name = args.out.name
+        if (args.quant or args.bhiksha) and args.binary != "trie":
+            raise SystemExit("--quant/--bhiksha require --binary trie")
         if name.endswith(".arpa") or name.endswith(".arpa.gz"):
             write_arpa(tables, args.out)
         elif args.binary == "trie":
             from tone_tpu.decoding.kenlm_trie import write_kenlm_trie
 
-            write_kenlm_trie(tables, args.out)
+            write_kenlm_trie(tables, args.out,
+                             quant_bits=tuple(args.quant) if args.quant else None,
+                             bhiksha_bits=args.bhiksha)
         else:
             from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
 
