@@ -5,7 +5,7 @@ test:
 	python -m pytest tests/ -q
 
 # Inner loop: heavy compiles / e2e / golden-parity tests are marked `slow`.
-# Measured ~8 min on the dev host (191 tests).
+# Measured ~8 min on the dev host (211 tests).
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
