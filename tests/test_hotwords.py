@@ -216,6 +216,109 @@ def test_engine_interim_device_beam_uses_hotword_arena():
         engine.shutdown()
 
 
+def test_per_request_hotwords_engine():
+    """set_stream_hotwords routes that stream's finals through a host beam
+    decoder carrying the request's hotwords, while other streams keep the
+    engine-wide (device) decoder; results still flow for both."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import BeamSearchCTCDecoder, DeviceBeamSearchCTCDecoder
+    from tone_tpu.runtime.engine import MultiStreamEngine, UnknownStreamError
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    engine = MultiStreamEngine(variables, cfg, n_slots=2,
+                               decoder=DeviceBeamSearchCTCDecoder(beam_width=8))
+    try:
+        biased = engine.open_stream()
+        plain = engine.open_stream()
+        engine.set_stream_hotwords(biased, ["мир"], 2.0)
+        override = engine._streams[biased].decoder
+        assert isinstance(override, BeamSearchCTCDecoder)
+        assert override._hotwords is not None
+
+        rng = np.random.default_rng(0)
+        finals = {biased: [], plain: []}
+        for i in range(4):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            last = i == 3
+            engine.feed(biased, chunk, is_last=last)
+            engine.feed(plain, chunk, is_last=last)
+            for sid, futures in engine.tick().items():
+                finals[sid].extend(f.result() for f in futures)
+        assert finals[biased] and finals[plain]
+
+        with pytest.raises(UnknownStreamError):
+            engine.set_stream_hotwords(12345, ["мир"])
+    finally:
+        engine.shutdown()
+
+
+def test_ws_config_frame_sets_hotwords():
+    """A JSON text frame configures per-request hotwords over the wire;
+    binary-only (reference) clients are unaffected."""
+    import asyncio
+    import json as _json
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    websockets = pytest.importorskip("websockets")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.runtime.engine import MultiStreamEngine
+    from tone_tpu.runtime.server import TranscriptionServer
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=2)
+        server = TranscriptionServer(engine, tick_seconds=0.02)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+                port = srv.sockets[0].getsockname()[1]
+                async with websockets.connect(
+                        f"ws://127.0.0.1:{port}/api/ws") as ws:
+                    assert _json.loads(await ws.recv())["event"] == "ready"
+                    await ws.send(_json.dumps(
+                        {"hotwords": ["мир"], "hotword_weight": 2.0}))
+                    ack = _json.loads(await ws.recv())
+                    assert ack == {"event": "config", "hotwords": 1}
+                    await ws.send(_json.dumps({"hotwords": 5}))  # bad type
+                    err = _json.loads(await ws.recv())
+                    assert err["event"] == "error"
+                    rng = np.random.default_rng(0)
+                    pcm = rng.integers(-20000, 20000, 2400 * 3).astype("<i2")
+                    await ws.send(pcm.tobytes())
+                    await ws.send(b"")
+                    events = []
+                    try:
+                        while True:
+                            events.append(_json.loads(
+                                await asyncio.wait_for(ws.recv(), timeout=20)))
+                    except (asyncio.TimeoutError,
+                            websockets.ConnectionClosed):
+                        pass
+                    assert any(e["event"] == "transcript" for e in events)
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
 def test_fused_device_search_with_hotwords_equals_host():
     """Full on-TPU shallow fusion + hotword biasing together == the host
     search running the same LM fusion and the same automaton.  The LM is

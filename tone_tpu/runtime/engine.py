@@ -51,6 +51,7 @@ class _Stream:
     beam_task: Future | None = None
     beam_reset: bool = False
     beam_gen: int = 0               # bumped at boundaries; stale results drop
+    decoder: object = None          # per-stream override (request hotwords)
 
 
 @dataclass
@@ -188,6 +189,35 @@ class MultiStreamEngine:
             self._splitter.reset(slot)
             return sid
 
+    def set_stream_hotwords(self, sid: int, hotwords,
+                            hotword_weight: float = 10.0) -> None:
+        """Per-REQUEST contextual biasing: this stream's final phrases (and
+        its carried interim search, if interim_beam) decode with the given
+        hotwords — e.g. the contact names of one call.  Decodes on the host
+        beam search (the engine-wide device decoder keeps serving the other
+        streams; device hotword tables are per-deployment, not per-request,
+        since each list is its own compiled constant).  The engine's LM is
+        reused when host-compatible; a device-resident LM falls back to
+        LM-free + boost for this stream.
+        """
+        from tone_tpu.decoder import BeamSearchCTCDecoder
+        from tone_tpu.decoding.lm import LanguageModel
+
+        base = self.decoder
+        lm = getattr(base, "_lm", None)
+        host_lm = lm if isinstance(lm, LanguageModel) else None
+        override = BeamSearchCTCDecoder(
+            host_lm, native_lm=getattr(base, "_native_lm", None),
+            alpha=getattr(base, "alpha", 0.4),
+            beta=getattr(base, "beta", 0.9),
+            hotwords=hotwords, hotword_weight=hotword_weight)
+        with self._lock:
+            stream = self._streams.get(sid)
+            if stream is None:
+                raise UnknownStreamError(f"unknown stream {sid}")
+            stream.decoder = override
+            stream.beam = None  # carried interim search rebuilds biased
+
     def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
         """Queue one chunk (any length <= chunk_samples; zero-padded).
 
@@ -291,13 +321,16 @@ class MultiStreamEngine:
         with self._lock:
             for k, (sid, stream, is_last) in enumerate(ticking):
                 phrases = by_slot.get(stream.slot)
-                if phrases and self.device_finals:
+                if phrases and self.device_finals and stream.decoder is None:
                     futs = [Future() for _ in phrases]
                     batch_finals.extend(zip(futs, phrases))
                     results[sid] = futs
                 elif phrases:
+                    # per-stream decoder override (request hotwords) decodes
+                    # on the host pool alongside the host-decoder default
                     results[sid] = [
-                        self._decode_pool.submit(self._decode, p) for p in phrases]
+                        self._decode_pool.submit(self._decode, p, stream.decoder)
+                        for p in phrases]
                 if device_texts is not None:
                     if phrases or is_last:
                         stream.interim_sent = ""
@@ -496,7 +529,7 @@ class MultiStreamEngine:
         if not stream.beam_frames and not stream.beam_reset:
             return
         if stream.beam is None:
-            stream.beam = self.decoder.streaming()
+            stream.beam = (stream.decoder or self.decoder).streaming()
         beam = stream.beam
         frames = stream.beam_frames
         stream.beam_frames = []
@@ -539,10 +572,10 @@ class MultiStreamEngine:
             align_words(logprob_phrase.logprobs, text),
             logprob_phrase.start_frame, self.config.frame_size, bias)
 
-    def _decode(self, logprob_phrase) -> TextPhrase:
+    def _decode(self, logprob_phrase, decoder=None) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder
 
-        decoder = self.decoder or GreedyCTCDecoder()
+        decoder = decoder or self.decoder or GreedyCTCDecoder()
         text = decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
         start, end = self._phrase_times(logprob_phrase)
         self.stats.phrases_decoded += 1

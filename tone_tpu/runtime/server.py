@@ -129,7 +129,23 @@ class TranscriptionServer:
             try:
                 async for message in websocket:
                     if isinstance(message, str):
-                        continue  # protocol: only binary frames carry audio
+                        # Optional extension over the reference protocol
+                        # (whose clients send binary only): a JSON text
+                        # frame configures per-REQUEST hotword biasing.
+                        try:
+                            cfg_msg = json.loads(message)
+                            hw = cfg_msg.get("hotwords")
+                            if hw:
+                                engine.set_stream_hotwords(
+                                    sid, hw,
+                                    float(cfg_msg.get("hotword_weight", 10.0)))
+                                await websocket.send(json.dumps(
+                                    {"event": "config", "hotwords": len(hw)}))
+                        except Exception as e:  # noqa: BLE001 — bad config
+                            await websocket.send(json.dumps(
+                                {"event": "error",
+                                 "error": f"bad config: {e}"}))
+                        continue
                     if len(message) == 0:
                         # End of stream: trailing padding then flush.
                         pending.append(np.zeros(config.padding, np.int16))
