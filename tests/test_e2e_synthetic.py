@@ -21,6 +21,21 @@ def test_train_deploy_stream_exact():
 
 
 @pytest.mark.slow
+def test_domain_adapt_example_end_to_end():
+    """The full in-framework domain loop (train -> KN LM binary -> fused
+    device decode with hotwords -> word times) produces exact transcripts
+    on noisy audio; examples/domain_adapt.py raises SystemExit otherwise."""
+    import domain_adapt
+
+    old_argv = sys.argv
+    sys.argv = ["domain_adapt", "--steps", "150"]
+    try:
+        domain_adapt.main()
+    finally:
+        sys.argv = old_argv
+
+
+@pytest.mark.slow
 def test_device_beam_agrees_with_host_on_trained_model():
     """Regression pin for the device-beam quality study
     (dev/beam_quality_sweep.py, docs/performance.md): on a trained model
