@@ -219,6 +219,27 @@ def test_prune_context_prefix_closure():
         assert math.isclose(total, 1.0, abs_tol=1e-9), (ctx, total)
 
 
+@pytest.mark.parametrize("order,prune", [(4, None), (5, None), (4, [0, 1]),
+                                         (5, [0, 1, 1, 2, 2])])
+def test_high_order_normalization_fuzz(order, prune):
+    """Orders 4-5 on a random corpus, pruned and unpruned: every stored
+    context's distribution still sums to exactly 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(order * 7 + (0 if prune is None else 1))
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = [[vocab[i] for i in rng.integers(0, 12, rng.integers(1, 9))]
+              for _ in range(60)]
+    tables = estimate_ngram_lm(corpus, order=order, prune=prune)
+    lm = ArpaLM(tables)
+    words = _vocab(tables)
+    ctxs = _contexts(tables, order)
+    # sample contexts to keep the fuzz fast at order 5
+    for ctx in ctxs[:: max(1, len(ctxs) // 150)]:
+        total = sum(10.0 ** lm.score(ctx, w) for w in words)
+        assert math.isclose(total, 1.0, abs_tol=1e-9), (ctx, total)
+
+
 def test_perplexity():
     from tone_tpu.decoding.estimate import perplexity
 
