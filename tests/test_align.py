@@ -68,6 +68,48 @@ def test_alignment_matches_any_decoder_text():
             assert 0 <= f0 <= f1 < 30 and 0.0 < conf <= 1.0
 
 
+def test_offline_logprobs_accessor():
+    """OfflineTranscriber.logprobs == the streaming scan's valid frames
+    (the acoustic front half the `align` CLI consumes)."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.acoustic import cast_params_for_inference
+    from tone_tpu.core.model import (
+        apply_streaming, init_model_params, init_streaming_state)
+    from tone_tpu.offline import OfflineTranscriber
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    audios = [rng.integers(-20000, 20000, n).astype(np.int32)
+              for n in (5000, 2400 * 2 + 7)]
+
+    tr = OfflineTranscriber(variables, cfg, batch_size=2)
+    got = tr.logprobs(audios)
+
+    cast = cast_params_for_inference(variables, cfg)
+    for audio, lp in zip(audios, got):
+        padded = np.pad(audio, (cfg.padding, cfg.padding))
+        padded = np.pad(padded, (0, -len(padded) % cfg.audio_chunk_samples))
+        state = init_streaming_state(cfg, 1)
+        outs = []
+        for k in range(len(padded) // cfg.audio_chunk_samples):
+            o, state = apply_streaming(
+                cast, cfg,
+                jnp.asarray(padded[None, k * cfg.audio_chunk_samples:
+                                   (k + 1) * cfg.audio_chunk_samples]), state)
+            outs.append(np.asarray(o)[0])
+        want = np.concatenate(outs, axis=0)
+        np.testing.assert_allclose(lp, want, atol=1e-5)
+
+
 def test_device_batch_alignment_equals_host():
     """The on-device batched aligner returns the exact host spans and
     confidences — mixed phrase lengths across (T, S) buckets, beam-decoded

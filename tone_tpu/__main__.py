@@ -146,6 +146,16 @@ def main() -> None:
                            "(batch-size must divide evenly)")
     _add_model_args(p_ev)
 
+    p_al = sub.add_parser(
+        "align", help="force-align given transcripts to audio (word times + "
+                      "confidences; subtitle/relabeling workflows)")
+    p_al.add_argument("manifest", type=Path,
+                      help="JSONL of {audio_filepath, text}")
+    p_al.add_argument("--out", type=Path, default=None,
+                      help="output JSONL (default: stdout)")
+    p_al.add_argument("--batch-size", type=int, default=16)
+    _add_model_args(p_al)
+
     p_lm = sub.add_parser(
         "lm", help="estimate an n-gram LM (modified Kneser-Ney, lmplz-style)")
     p_lm.add_argument("corpus", type=Path,
@@ -276,6 +286,44 @@ def main() -> None:
             "wall_seconds": round(result.wall_seconds, 2),
             "rtfx": round(result.rtfx, 1),
         }))
+        return
+
+    if args.command == "align":
+        import numpy as np
+
+        from tone_tpu.align import spans_to_word_timings
+        from tone_tpu.audio import read_audio
+        from tone_tpu.eval import read_manifest
+        from tone_tpu.offline import OfflineTranscriber
+        from tone_tpu.ops.align_device import align_words_batch
+
+        pipeline = _build_pipeline(args)
+        cfg = pipeline.model.config
+        transcriber = OfflineTranscriber(
+            pipeline.model.variables, cfg, batch_size=args.batch_size)
+        items = read_manifest(args.manifest)
+        audios = [np.asarray(it.get("audio")
+                             if it.get("audio") is not None
+                             else read_audio(it["audio_filepath"]), np.int32)
+                  for it in items]
+        texts = [" ".join(str(it["text"]).lower().split()) for it in items]
+        lps = transcriber.logprobs(audios)
+        spans = align_words_batch(lps, texts)
+        bias = cfg.mean_time_bias + cfg.padding / cfg.frontend.sample_rate
+        lines = []
+        for it, s in zip(items, spans):
+            words = spans_to_word_timings(s, 0, cfg.frame_size, bias)
+            lines.append(json.dumps({
+                "audio_filepath": it.get("audio_filepath"),
+                "text": it["text"],
+                "words": [vars(w) for w in words],
+            }, ensure_ascii=False))
+        if args.out is not None:
+            args.out.write_text("\n".join(lines) + "\n", encoding="utf-8")
+            print(json.dumps({"out": str(args.out), "utterances": len(lines)}))
+        else:
+            for line in lines:
+                print(line)
         return
 
     if args.command == "lm":

@@ -194,6 +194,21 @@ class OfflineTranscriber:
         (so e.g. ``tone_tpu.eval.evaluate_pipeline`` accepts a transcriber)."""
         return self.transcribe([audio])[0]
 
+    def logprobs(self, audios: Sequence[np.ndarray]) -> list[np.ndarray]:
+        """Per-utterance (frames, vocab+1) logprobs, batched/bucketed like
+        ``transcribe`` but without splitting or decoding — the acoustic
+        front half for forced alignment (`tone_tpu align`) and analysis."""
+        frames = self.config.encoder.chunk_size
+        order = np.argsort([len(a) for a in audios], kind="stable")
+        out: list[np.ndarray | None] = [None] * len(audios)
+        for start in range(0, len(order), self.batch_size):
+            idx, row_chunks, lp_dev = self._launch(
+                order[start:start + self.batch_size], audios)
+            lp = np.asarray(lp_dev, dtype=np.float32)
+            for row, i in enumerate(idx):
+                out[i] = lp[row, :row_chunks[row] * frames]
+        return out  # type: ignore[return-value]
+
     def _to_text_phrase(self, logprob_phrase, text: str,
                         spans=None) -> TextPhrase:
         cfg = self.config
