@@ -289,10 +289,13 @@ def main() -> None:
         return
 
     if args.command == "align":
+        import sys as _sys
+
         import numpy as np
 
         from tone_tpu.align import spans_to_word_timings
         from tone_tpu.audio import read_audio
+        from tone_tpu.config import LABELS
         from tone_tpu.eval import read_manifest
         from tone_tpu.offline import OfflineTranscriber
         from tone_tpu.ops.align_device import align_words_batch
@@ -302,39 +305,77 @@ def main() -> None:
         transcriber = OfflineTranscriber(
             pipeline.model.variables, cfg, batch_size=args.batch_size)
         items = read_manifest(args.manifest)
-        audios = [np.asarray(it.get("audio")
-                             if it.get("audio") is not None
-                             else read_audio(it["audio_filepath"]), np.int32)
-                  for it in items]
-        texts = [" ".join(str(it["text"]).lower().split()) for it in items]
-        lps = transcriber.logprobs(audios)
-        spans = align_words_batch(lps, texts)
         bias = cfg.mean_time_bias + cfg.padding / cfg.frontend.sample_rate
-        lines = []
-        for it, s in zip(items, spans):
-            words = spans_to_word_timings(s, 0, cfg.frame_size, bias)
-            lines.append(json.dumps({
-                "audio_filepath": it.get("audio_filepath"),
-                "text": it["text"],
-                "words": [vars(w) for w in words],
-            }, ensure_ascii=False))
-        if args.out is not None:
-            args.out.write_text("\n".join(lines) + "\n", encoding="utf-8")
-            print(json.dumps({"out": str(args.out), "utterances": len(lines)}))
-        else:
-            for line in lines:
-                print(line)
+        alphabet = set(LABELS) - {" "}
+
+        def norm_word(word: str) -> str:
+            # real transcripts carry punctuation/digits/Latin the model's
+            # alphabet lacks: align what is representable, keep the
+            # ORIGINAL word in the output
+            return "".join(c for c in word.lower() if c in alphabet)
+
+        def align_one(it, lp):
+            orig = str(it["text"]).split()
+            norm = [norm_word(w) for w in orig]
+            text = " ".join(w for w in norm if w)
+            spans = align_words_batch([lp], [text])[0] if text else []
+            timed = iter(spans_to_word_timings(spans, 0, cfg.frame_size, bias))
+            words = []
+            for w, nw in zip(orig, norm):
+                if nw:
+                    t = next(timed)
+                    words.append({"word": w, "start_time": t.start_time,
+                                  "end_time": t.end_time,
+                                  "confidence": t.confidence})
+                else:  # nothing alignable in this word (e.g. "—")
+                    words.append({"word": w, "start_time": None,
+                                  "end_time": None, "confidence": None})
+            return {"audio_filepath": it.get("audio_filepath"),
+                    "text": it["text"], "words": words}
+
+        out_f = (open(args.out, "w", encoding="utf-8") if args.out
+                 else _sys.stdout)
+        n_done = n_failed = 0
+        try:
+            # batch-by-batch so memory is bounded and output is incremental
+            for start in range(0, len(items), args.batch_size):
+                chunk = items[start:start + args.batch_size]
+                audios = [np.asarray(it.get("audio")
+                                     if it.get("audio") is not None
+                                     else read_audio(it["audio_filepath"]),
+                                     np.int32) for it in chunk]
+                lps = transcriber.logprobs(audios)
+                for it, lp in zip(chunk, lps):
+                    try:
+                        record = align_one(it, lp)
+                        n_done += 1
+                    except ValueError as e:  # e.g. text longer than audio
+                        record = {"audio_filepath": it.get("audio_filepath"),
+                                  "text": it["text"], "error": str(e)}
+                        n_failed += 1
+                    out_f.write(json.dumps(record, ensure_ascii=False) + "\n")
+                out_f.flush()
+        finally:
+            if args.out:
+                out_f.close()
+        if args.out:
+            print(json.dumps({"out": str(args.out), "utterances": n_done,
+                              "failed": n_failed}))
         return
 
     if args.command == "lm":
         from tone_tpu.decoding.estimate import estimate_from_text, write_arpa
 
+        name = args.out.name
+        is_arpa = name.endswith(".arpa") or name.endswith(".arpa.gz")
+        if (args.quant or args.bhiksha) and (args.binary != "trie" or is_arpa):
+            # pure argument error: fail before the (possibly minutes-long)
+            # corpus counting, not after
+            raise SystemExit("--quant/--bhiksha require --binary trie and a "
+                             "binary output path")
         with open(args.corpus, encoding="utf-8") as f:
             tables = estimate_from_text(f, order=args.order, prune=args.prune)
-        name = args.out.name
-        if (args.quant or args.bhiksha) and args.binary != "trie":
-            raise SystemExit("--quant/--bhiksha require --binary trie")
-        if name.endswith(".arpa") or name.endswith(".arpa.gz"):
+        if is_arpa:
             write_arpa(tables, args.out)
         elif args.binary == "trie":
             from tone_tpu.decoding.kenlm_trie import write_kenlm_trie

@@ -136,6 +136,9 @@ class BeamSearchCTCDecoder:
                 self._hotwords = hotwords
                 phrases, hotword_weight = hotwords.phrases, hotwords.weight
             else:
+                if isinstance(hotwords, str):
+                    raise TypeError(
+                        "hotwords must be a list of phrases, not a string")
                 phrases = [str(h) for h in hotwords]
                 bad = {c for h in phrases for c in h.lower() if c not in LABELS}
                 if bad:

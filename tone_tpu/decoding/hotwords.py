@@ -50,6 +50,10 @@ class HotwordScorer:
     """
 
     def __init__(self, hotwords: Iterable[str], weight: float = 10.0) -> None:
+        if isinstance(hotwords, str):
+            # a lone string would silently iterate into per-CHARACTER
+            # hotwords — an easy config type confusion
+            raise TypeError("hotwords must be a list of phrases, not a string")
         self.weight = float(weight)
         self._children: list[dict[str, int]] = [{}]
         self._terminal: list[bool] = [False]

@@ -197,16 +197,27 @@ class OfflineTranscriber:
     def logprobs(self, audios: Sequence[np.ndarray]) -> list[np.ndarray]:
         """Per-utterance (frames, vocab+1) logprobs, batched/bucketed like
         ``transcribe`` but without splitting or decoding — the acoustic
-        front half for forced alignment (`tone_tpu align`) and analysis."""
+        front half for forced alignment (`tone_tpu align`) and analysis.
+        Same two-deep pipeline as ``transcribe``: batch ``i+1`` dispatches
+        before batch ``i``'s host transfer blocks."""
         frames = self.config.encoder.chunk_size
         order = np.argsort([len(a) for a in audios], kind="stable")
         out: list[np.ndarray | None] = [None] * len(audios)
-        for start in range(0, len(order), self.batch_size):
-            idx, row_chunks, lp_dev = self._launch(
-                order[start:start + self.batch_size], audios)
+
+        def finish(launched):
+            idx, row_chunks, lp_dev = launched
             lp = np.asarray(lp_dev, dtype=np.float32)
             for row, i in enumerate(idx):
                 out[i] = lp[row, :row_chunks[row] * frames]
+
+        pending = None
+        for start in range(0, len(order), self.batch_size):
+            launched = self._launch(order[start:start + self.batch_size], audios)
+            if pending is not None:
+                finish(pending)
+            pending = launched
+        if pending is not None:
+            finish(pending)
         return out  # type: ignore[return-value]
 
     def _to_text_phrase(self, logprob_phrase, text: str,

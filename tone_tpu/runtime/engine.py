@@ -198,25 +198,35 @@ class MultiStreamEngine:
         streams; device hotword tables are per-deployment, not per-request,
         since each list is its own compiled constant).  The engine's LM is
         reused when host-compatible; a device-resident LM falls back to
-        LM-free + boost for this stream.
+        LM-free + boost for this stream.  An empty/None list CLEARS an
+        earlier override (back to the engine-wide decoder).
         """
-        from tone_tpu.decoder import BeamSearchCTCDecoder
-        from tone_tpu.decoding.lm import LanguageModel
+        override = None
+        if hotwords:
+            from tone_tpu.decoder import BeamSearchCTCDecoder
+            from tone_tpu.decoding.lm import LanguageModel
 
-        base = self.decoder
-        lm = getattr(base, "_lm", None)
-        host_lm = lm if isinstance(lm, LanguageModel) else None
-        override = BeamSearchCTCDecoder(
-            host_lm, native_lm=getattr(base, "_native_lm", None),
-            alpha=getattr(base, "alpha", 0.4),
-            beta=getattr(base, "beta", 0.9),
-            hotwords=hotwords, hotword_weight=hotword_weight)
+            base = self.decoder
+            lm = getattr(base, "_lm", None)
+            host_lm = lm if isinstance(lm, LanguageModel) else None
+            override = BeamSearchCTCDecoder(
+                host_lm, native_lm=getattr(base, "_native_lm", None),
+                alpha=getattr(base, "alpha", 0.4),
+                beta=getattr(base, "beta", 0.9),
+                beam_width=getattr(base, "beam_width", None)
+                or BeamSearchCTCDecoder.BEAM_WIDTH,
+                hotwords=hotwords, hotword_weight=hotword_weight)
         with self._lock:
             stream = self._streams.get(sid)
             if stream is None:
                 raise UnknownStreamError(f"unknown stream {sid}")
-            stream.decoder = override
-            stream.beam = None  # carried interim search rebuilds biased
+            stream.decoder = override  # None clears an earlier override
+            # carried interim search rebuilds (biased or not); bump the
+            # generation so an in-flight task's stale result is dropped
+            stream.beam = None
+            stream.beam_gen += 1
+            stream.beam_reset = True
+            stream.beam_frames.clear()
 
     def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
         """Queue one chunk (any length <= chunk_samples; zero-padded).

@@ -132,15 +132,30 @@ class TranscriptionServer:
                         # Optional extension over the reference protocol
                         # (whose clients send binary only): a JSON text
                         # frame configures per-REQUEST hotword biasing.
+                        # Every text frame gets a reply (config or error);
+                        # an empty list clears an earlier override.
                         try:
                             cfg_msg = json.loads(message)
-                            hw = cfg_msg.get("hotwords")
-                            if hw:
-                                engine.set_stream_hotwords(
-                                    sid, hw,
-                                    float(cfg_msg.get("hotword_weight", 10.0)))
-                                await websocket.send(json.dumps(
-                                    {"event": "config", "hotwords": len(hw)}))
+                            if not isinstance(cfg_msg, dict) or \
+                                    "hotwords" not in cfg_msg:
+                                raise ValueError("expected a JSON object "
+                                                 "with a 'hotwords' list")
+                            hw = cfg_msg["hotwords"]
+                            if not isinstance(hw, list) or \
+                                    not all(isinstance(x, str) for x in hw):
+                                raise ValueError(
+                                    "'hotwords' must be a list of strings")
+                            # decoder construction may build the native
+                            # library (g++): keep it off the event loop
+                            await asyncio.to_thread(
+                                engine.set_stream_hotwords, sid, hw,
+                                float(cfg_msg.get("hotword_weight", 10.0)))
+                            await websocket.send(json.dumps(
+                                {"event": "config", "hotwords": len(hw)}))
+                        except UnknownStreamError:
+                            await websocket.close(code=CLOSE_EVICTED,
+                                                  reason="stream evicted")
+                            return
                         except Exception as e:  # noqa: BLE001 — bad config
                             await websocket.send(json.dumps(
                                 {"event": "error",
