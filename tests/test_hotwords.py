@@ -261,6 +261,38 @@ def test_per_request_hotwords_engine():
         engine.shutdown()
 
 
+def test_hotwords_reject_lone_string_and_clear():
+    """A lone string is a type error everywhere (it would iterate into
+    per-character hotwords); an empty list clears an engine override."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    with pytest.raises(TypeError, match="string"):
+        HotwordScorer("мир")
+    with pytest.raises(TypeError, match="string"):
+        BeamSearchCTCDecoder(hotwords="мир")
+
+    cfg = tiny_config()
+    engine = MultiStreamEngine(init_model_params(jax.random.PRNGKey(0), cfg),
+                               cfg, n_slots=1)
+    try:
+        sid = engine.open_stream()
+        engine.set_stream_hotwords(sid, ["мир"])
+        assert engine._streams[sid].decoder is not None
+        engine.set_stream_hotwords(sid, [])
+        assert engine._streams[sid].decoder is None
+    finally:
+        engine.shutdown()
+
+
 def test_ws_config_frame_sets_hotwords():
     """A JSON text frame configures per-request hotwords over the wire;
     binary-only (reference) clients are unaffected."""
