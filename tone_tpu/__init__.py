@@ -41,6 +41,14 @@ _LAZY = {
     "TrainerConfig": ("tone_tpu.training", "TrainerConfig"),
     "MultiStreamEngine": ("tone_tpu.runtime", "MultiStreamEngine"),
     "word_error_rate": ("tone_tpu.training", "word_error_rate"),
+    "DeviceBeamSearchCTCDecoder": ("tone_tpu.decoder",
+                                   "DeviceBeamSearchCTCDecoder"),
+    "WordTiming": ("tone_tpu.align", "WordTiming"),
+    "align_words": ("tone_tpu.align", "align_words"),
+    "HotwordScorer": ("tone_tpu.decoding.hotwords", "HotwordScorer"),
+    "estimate_ngram_lm": ("tone_tpu.decoding.estimate", "estimate_ngram_lm"),
+    "write_arpa": ("tone_tpu.decoding.estimate", "write_arpa"),
+    "perplexity": ("tone_tpu.decoding.estimate", "perplexity"),
 }
 
 
