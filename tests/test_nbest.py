@@ -107,6 +107,128 @@ def test_device_align_infeasible_raises():
         align_words_batch([lp], ["мир"])
 
 
+def _tiny_engine(**kwargs):
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    cfg = tiny_config()
+    variables = init_model_params(jax.random.PRNGKey(0), cfg)
+    return MultiStreamEngine(variables, cfg, n_slots=2, **kwargs)
+
+
+def test_engine_per_stream_nbest():
+    """set_stream_nbest makes that stream's finals carry scored
+    alternatives (top-1 == text) while other streams stay top-1-only;
+    greedy decoders are rejected; 0 clears."""
+    from tone_tpu.runtime.engine import UnknownStreamError
+
+    engine = _tiny_engine(decoder=DeviceBeamSearchCTCDecoder(beam_width=8))
+    try:
+        rich = engine.open_stream()
+        plain = engine.open_stream()
+        engine.set_stream_nbest(rich, 4)
+        with pytest.raises(UnknownStreamError):
+            engine.set_stream_nbest(12345, 4)
+        with pytest.raises(ValueError, match="0..32"):
+            engine.set_stream_nbest(rich, 99)
+
+        rng = np.random.default_rng(0)
+        finals = {rich: [], plain: []}
+        for i in range(4):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            last = i == 3
+            engine.feed(rich, chunk, is_last=last)
+            engine.feed(plain, chunk, is_last=last)
+            for sid, futures in engine.tick().items():
+                finals[sid].extend(f.result() for f in futures)
+        assert finals[rich] and finals[plain]
+        for p in finals[rich]:
+            assert p.nbest is not None and 1 <= len(p.nbest) <= 4
+            assert p.nbest[0][0] == p.text
+            scores = [s for _, s in p.nbest]
+            assert scores == sorted(scores, reverse=True)
+        assert all(p.nbest is None for p in finals[plain])
+
+        fresh = engine.open_stream()
+        engine.set_stream_nbest(fresh, 4)
+        assert engine._streams[fresh].nbest == 4
+        engine.set_stream_nbest(fresh, 0)  # clears
+        assert engine._streams[fresh].nbest == 0
+    finally:
+        engine.shutdown()
+
+
+def test_engine_nbest_needs_beam_decoder():
+    from tone_tpu.runtime.engine import MultiStreamEngine  # noqa: F401
+
+    engine = _tiny_engine()  # default greedy decoder
+    try:
+        sid = engine.open_stream()
+        with pytest.raises(ValueError, match="n-best"):
+            engine.set_stream_nbest(sid, 4)
+    finally:
+        engine.shutdown()
+    with pytest.raises(ValueError, match="beam decoder"):
+        _tiny_engine(nbest=4).shutdown()
+
+
+def test_ws_config_frame_nbest():
+    """{'nbest': N} over the wire: transcript events carry scored
+    alternatives whose best entry equals the text field."""
+    import asyncio
+    import json as _json
+
+    websockets = pytest.importorskip("websockets")
+
+    from tone_tpu.runtime.server import TranscriptionServer
+
+    engine = _tiny_engine(decoder=BeamSearchCTCDecoder(beam_width=16))
+    server = TranscriptionServer(engine, tick_seconds=0.02)
+
+    async def main():
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+                port = srv.sockets[0].getsockname()[1]
+                async with websockets.connect(
+                        f"ws://127.0.0.1:{port}/api/ws") as ws:
+                    assert _json.loads(await ws.recv())["event"] == "ready"
+                    await ws.send(_json.dumps({"nbest": 3}))
+                    ack = _json.loads(await ws.recv())
+                    assert ack == {"event": "config", "nbest": 3}
+                    await ws.send(_json.dumps({"nbest": "three"}))
+                    assert _json.loads(await ws.recv())["event"] == "error"
+                    rng = np.random.default_rng(0)
+                    pcm = rng.integers(-20000, 20000, 2400 * 3).astype("<i2")
+                    await ws.send(pcm.tobytes())
+                    await ws.send(b"")
+                    events = []
+                    try:
+                        while True:
+                            events.append(_json.loads(
+                                await asyncio.wait_for(ws.recv(), timeout=20)))
+                    except (asyncio.TimeoutError, websockets.ConnectionClosed):
+                        pass
+                    finals = [e for e in events if e["event"] == "transcript"]
+                    assert finals
+                    for e in finals:
+                        assert 1 <= len(e["nbest"]) <= 3
+                        assert e["nbest"][0]["text"] == e["text"]
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
 def test_device_nbest_fusion():
     from tone_tpu.decoding.device_lm import DeviceLM
     from tone_tpu.decoding.estimate import estimate_ngram_lm

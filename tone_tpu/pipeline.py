@@ -35,12 +35,17 @@ class TextPhrase:
     ``words`` (None unless the pipeline was built with
     ``word_timestamps=True``) carries per-word times + confidences from CTC
     forced alignment (tone_tpu/align.py) — beyond the reference, which is
-    phrase-level only (tone/pipeline.py:151-164)."""
+    phrase-level only (tone/pipeline.py:151-164).
+
+    ``nbest`` (None unless n-best was requested, e.g. the serving
+    engine's per-stream ``set_stream_nbest``) carries up to N alternative
+    ``(text, score)`` transcripts, best first; ``nbest[0][0] == text``."""
 
     text: str
     start_time: float
     end_time: float
     words: "tuple | None" = None
+    nbest: "tuple | None" = None
 
 
 class StreamingCTCPipeline:

@@ -52,6 +52,7 @@ class _Stream:
     beam_reset: bool = False
     beam_gen: int = 0               # bumped at boundaries; stale results drop
     decoder: object = None          # per-stream override (request hotwords)
+    nbest: int = 0                  # >1: finals carry n-best alternatives
 
 
 @dataclass
@@ -90,7 +91,8 @@ class MultiStreamEngine:
                  idle_evict_seconds: float | None = None,
                  force_evict_grace: float | None = None,
                  final_decode_batch: int = 64,
-                 word_timestamps: bool = False) -> None:
+                 word_timestamps: bool = False,
+                 nbest: int = 0) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -127,7 +129,13 @@ class MultiStreamEngine:
 
         ``word_timestamps``: final phrases also carry per-word times +
         confidences (CTC forced alignment, tone_tpu/align.py) — host-side
-        O(frames·chars) per phrase on the decode path."""
+        O(frames·chars) per phrase on the decode path.
+
+        ``nbest``: deployment-wide default for per-stream n-best (every new
+        stream starts with it; ``set_stream_nbest`` overrides per request).
+        >1 routes finals through per-phrase ``decoder.nbest`` calls instead
+        of the batched device_finals path — a real throughput cost at arena
+        scale, so the default is top-1."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
@@ -152,6 +160,12 @@ class MultiStreamEngine:
         self._device_beam_width = interim_beam_width
         self._device_beam_max_len = interim_beam_max_len
         self.word_timestamps = word_timestamps
+        if nbest and (nbest < 0 or nbest > self.MAX_NBEST):
+            raise ValueError(f"nbest must be 0..{self.MAX_NBEST}, got {nbest}")
+        if nbest and nbest > 1 and not hasattr(decoder or (), "nbest"):
+            raise ValueError("nbest > 1 needs a beam decoder (greedy has no "
+                             "alternative hypotheses)")
+        self.default_nbest = 0 if not nbest or nbest <= 1 else int(nbest)
         if idle_evict_seconds is not None:
             self.IDLE_EVICT_SECONDS = idle_evict_seconds
         if force_evict_grace is not None:
@@ -184,7 +198,7 @@ class MultiStreamEngine:
             slot = self._free_slots.pop()
             sid = self._next_id
             self._next_id += 1
-            self._streams[sid] = _Stream(slot=slot)
+            self._streams[sid] = _Stream(slot=slot, nbest=self.default_nbest)
             self._slot_reset[slot] = True
             self._splitter.reset(slot)
             return sid
@@ -227,6 +241,31 @@ class MultiStreamEngine:
             stream.beam_gen += 1
             stream.beam_reset = True
             stream.beam_frames.clear()
+
+    MAX_NBEST = 32
+
+    def set_stream_nbest(self, sid: int, n: int | None) -> None:
+        """Per-REQUEST n-best: this stream's final phrases carry up to ``n``
+        alternative ``(text, score)`` transcripts (``TextPhrase.nbest``).
+        ``None``/0/1 clears (top-1 only, the default).  The stream's phrases
+        decode per-phrase through the decoder's ``nbest`` method — on the
+        host pool for host decoders, one device call per phrase for the
+        device search — so at arena scale prefer leaving most streams at
+        top-1 (the batched device_finals path).
+        """
+        n = int(n or 0)
+        if n < 0 or n > self.MAX_NBEST:
+            raise ValueError(f"nbest must be 0..{self.MAX_NBEST}, got {n}")
+        with self._lock:
+            stream = self._streams.get(sid)
+            if stream is None:
+                raise UnknownStreamError(f"unknown stream {sid}")
+            if n > 1 and not hasattr(stream.decoder or self.decoder or (),
+                                     "nbest"):
+                raise ValueError(
+                    "the configured decoder has no n-best support "
+                    "(greedy decodes a single hypothesis; use a beam decoder)")
+            stream.nbest = 0 if n <= 1 else n
 
     def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
         """Queue one chunk (any length <= chunk_samples; zero-padded).
@@ -331,15 +370,17 @@ class MultiStreamEngine:
         with self._lock:
             for k, (sid, stream, is_last) in enumerate(ticking):
                 phrases = by_slot.get(stream.slot)
-                if phrases and self.device_finals and stream.decoder is None:
+                if phrases and self.device_finals and stream.decoder is None \
+                        and not stream.nbest:
                     futs = [Future() for _ in phrases]
                     batch_finals.extend(zip(futs, phrases))
                     results[sid] = futs
                 elif phrases:
-                    # per-stream decoder override (request hotwords) decodes
-                    # on the host pool alongside the host-decoder default
+                    # per-stream overrides (request hotwords / n-best) decode
+                    # per-phrase on the pool alongside the host-decoder default
                     results[sid] = [
-                        self._decode_pool.submit(self._decode, p, stream.decoder)
+                        self._decode_pool.submit(self._decode, p,
+                                                 stream.decoder, stream.nbest)
                         for p in phrases]
                 if device_texts is not None:
                     if phrases or is_last:
@@ -582,15 +623,23 @@ class MultiStreamEngine:
             align_words(logprob_phrase.logprobs, text),
             logprob_phrase.start_frame, self.config.frame_size, bias)
 
-    def _decode(self, logprob_phrase, decoder=None) -> TextPhrase:
+    def _decode(self, logprob_phrase, decoder=None, nbest: int = 0) -> TextPhrase:
         from tone_tpu.decoder import GreedyCTCDecoder
 
         decoder = decoder or self.decoder or GreedyCTCDecoder()
-        text = decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
+        logprobs = np.ascontiguousarray(logprob_phrase.logprobs)
+        alternatives = None
+        if nbest > 1 and hasattr(decoder, "nbest"):
+            ranked = decoder.nbest(logprobs, nbest)
+            text = ranked[0][0] if ranked else ""
+            alternatives = tuple(ranked)
+        else:
+            text = decoder.forward(logprobs)
         start, end = self._phrase_times(logprob_phrase)
         self.stats.phrases_decoded += 1
         return TextPhrase(text=text, start_time=start, end_time=end,
-                          words=self._word_times(logprob_phrase, text))
+                          words=self._word_times(logprob_phrase, text),
+                          nbest=alternatives)
 
     def _decode_batch(self, items: list[tuple[Future, object]]) -> None:
         """Decode a tick's completed phrases in one batched device call,

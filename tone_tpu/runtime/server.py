@@ -131,27 +131,39 @@ class TranscriptionServer:
                     if isinstance(message, str):
                         # Optional extension over the reference protocol
                         # (whose clients send binary only): a JSON text
-                        # frame configures per-REQUEST hotword biasing.
-                        # Every text frame gets a reply (config or error);
-                        # an empty list clears an earlier override.
+                        # frame configures per-REQUEST options — hotword
+                        # biasing ('hotwords' list + 'hotword_weight') and/or
+                        # n-best ('nbest': transcript events then carry up to
+                        # N scored alternatives).  Every text frame gets a
+                        # reply (config or error); an empty hotword list /
+                        # nbest 0 clears an earlier override.
                         try:
                             cfg_msg = json.loads(message)
-                            if not isinstance(cfg_msg, dict) or \
-                                    "hotwords" not in cfg_msg:
-                                raise ValueError("expected a JSON object "
-                                                 "with a 'hotwords' list")
-                            hw = cfg_msg["hotwords"]
-                            if not isinstance(hw, list) or \
-                                    not all(isinstance(x, str) for x in hw):
+                            if not isinstance(cfg_msg, dict) or not (
+                                    {"hotwords", "nbest"} & cfg_msg.keys()):
                                 raise ValueError(
-                                    "'hotwords' must be a list of strings")
-                            # decoder construction may build the native
-                            # library (g++): keep it off the event loop
-                            await asyncio.to_thread(
-                                engine.set_stream_hotwords, sid, hw,
-                                float(cfg_msg.get("hotword_weight", 10.0)))
-                            await websocket.send(json.dumps(
-                                {"event": "config", "hotwords": len(hw)}))
+                                    "expected a JSON object with a "
+                                    "'hotwords' list and/or an 'nbest' int")
+                            applied = {"event": "config"}
+                            if "hotwords" in cfg_msg:
+                                hw = cfg_msg["hotwords"]
+                                if not isinstance(hw, list) or \
+                                        not all(isinstance(x, str) for x in hw):
+                                    raise ValueError(
+                                        "'hotwords' must be a list of strings")
+                                # decoder construction may build the native
+                                # library (g++): keep it off the event loop
+                                await asyncio.to_thread(
+                                    engine.set_stream_hotwords, sid, hw,
+                                    float(cfg_msg.get("hotword_weight", 10.0)))
+                                applied["hotwords"] = len(hw)
+                            if "nbest" in cfg_msg:
+                                n = cfg_msg["nbest"]
+                                if not isinstance(n, int) or isinstance(n, bool):
+                                    raise ValueError("'nbest' must be an int")
+                                engine.set_stream_nbest(sid, n)
+                                applied["nbest"] = n
+                            await websocket.send(json.dumps(applied))
                         except UnknownStreamError:
                             await websocket.close(code=CLOSE_EVICTED,
                                                   reason="stream evicted")
@@ -211,6 +223,9 @@ class TranscriptionServer:
                 }
                 if getattr(phrase, "words", None) is not None:
                     event["words"] = [vars(w) for w in phrase.words]
+                if getattr(phrase, "nbest", None) is not None:
+                    event["nbest"] = [{"text": t, "score": s}
+                                      for t, s in phrase.nbest]
                 await websocket.send(json.dumps(event, ensure_ascii=False))
             except Exception:  # noqa: BLE001 — never kill the sender loop
                 logger.exception("failed to deliver phrase")
@@ -295,6 +310,13 @@ def main() -> None:
                              "words/phrases (or @file, one per line) to bias "
                              "finals AND interim beam decoding toward")
     parser.add_argument("--hotword-weight", type=float, default=10.0)
+    parser.add_argument("--nbest", type=int, default=0,
+                        help="transcript events carry up to N scored "
+                             "alternative transcripts for every stream "
+                             "(needs a beam decoder; per-phrase decodes, so "
+                             "a throughput cost at arena scale — clients can "
+                             "instead opt in per stream with a JSON config "
+                             "frame {'nbest': N})")
     parser.add_argument("--word-times", action="store_true",
                         help="transcript events carry per-word times + "
                              "confidences (CTC forced alignment)")
@@ -359,7 +381,8 @@ def main() -> None:
                                interim_beam_max_len=args.interim_beam_max_len,
                                idle_evict_seconds=args.idle_evict_seconds,
                                force_evict_grace=args.force_evict_grace,
-                               word_timestamps=args.word_times)
+                               word_timestamps=args.word_times,
+                               nbest=args.nbest)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
