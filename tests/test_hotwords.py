@@ -136,7 +136,7 @@ def test_device_search_equals_host_with_hotwords():
         hot_beam_advance, hot_beam_nbest, init_hot_beam_state,
         make_hotword_tables)
 
-    words = ["мир", "сан дата", "привет", "дом", "та"]
+    words = ["мир", "сан дата", "привет", "дом", "та", "дата дом"]
     rng = np.random.default_rng(7)
     for trial in range(4):
         B, T = 3, 30
@@ -144,7 +144,7 @@ def test_device_search_equals_host_with_hotwords():
         lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
               ).astype(np.float32)
         lengths = rng.integers(8, T + 1, B)
-        picks = list(rng.choice(len(words), 2, replace=False))
+        picks = list(rng.choice(len(words), 3, replace=False))
         phrases = [words[i] for i in picks]
         weight = float(rng.uniform(0.5, 3.0))
 
@@ -399,12 +399,13 @@ def test_native_equals_python_with_hotwords():
     if not native_available():
         pytest.skip("no C++ toolchain")
 
-    words = ["мир", "сан дата", "привет", "дом", "та", "а"]
+    words = ["мир", "сан дата", "привет", "дом", "та", "а", "дата дом",
+             "дом мир"]
     rng = np.random.default_rng(1)
     for trial in range(8):
         logits = rng.normal(0.0, 2.5, (40, len(LABELS) + 1))
         lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
-        picks = list(rng.choice(len(words), size=rng.integers(1, 4),
+        picks = list(rng.choice(len(words), size=rng.integers(1, 5),
                                 replace=False))
         phrases = [words[i] for i in picks]
         weight = float(rng.uniform(0.5, 4.0))
@@ -455,6 +456,61 @@ def test_no_boost_for_suffix_matching_words():
         state, d = hw.step(state, ch)
         total += d
     assert total == 6.0
+
+
+def test_rematch_overlapping_phrases():
+    """Aho–Corasick word-aligned rematch: a phrase starting inside another
+    phrase's consumed words still matches — each overlapping phrase earns
+    its full boost."""
+
+    def total(hw, text):
+        state, acc = (0, 0.0), 0.0
+        for ch in text:
+            state, d = hw.step(state, ch)
+            acc += d
+        return acc
+
+    w = 1.0
+    # commit-then-rematch: "сан дата" commits, "дата центр" picks up "дата"
+    hw = HotwordScorer(["сан дата", "дата центр"], weight=w)
+    assert total(hw, "сан дата центр ") == 8.0 + 10.0
+    # falloff-then-rematch: "аб вгх" dies at the boundary, "вг дж" takes over
+    hw2 = HotwordScorer(["аб вгх", "вг дж"], weight=w)
+    assert total(hw2, "аб вг дж ") == 5.0
+    # rematch only at word-aligned suffixes: "вг" inside the word "авг"
+    # stays unmatched even while "ав" is being followed
+    hw3 = HotwordScorer(["ав", "вг"], weight=w)
+    assert total(hw3, "авг ") == 0.0
+    # self-overlap: two occurrences of "дата дата" in "дата дата дата"
+    hw4 = HotwordScorer(["дата дата"], weight=w)
+    assert total(hw4, "дата дата дата ") == 18.0 + 5.0  # +in-progress prefix
+
+
+def test_rematch_flips_decode_all_engines():
+    """Decode-level: with overlapping phrase hotwords the second phrase's
+    ambiguous word is pulled through in every search engine (the case the
+    pre-rematch automaton missed)."""
+    spec = [{c: 0.0} for c in "сан дата "]
+    spec += [{"ц": 0.0}, {"е": -0.5, "и": -0.45}, {"н": 0.0}, {"т": 0.0},
+             {"р": 0.0}]
+    lp = _logprobs(spec, T=17)
+    assert ctc_beam_search(lp, LABELS, beam_width=16) == "сан дата цинтр"
+    hw = HotwordScorer(["сан дата", "дата центр"], weight=3.0)
+    want = "сан дата центр"
+    assert ctc_beam_search(lp, LABELS, beam_width=16, hotwords=hw) == want
+
+    from tone_tpu.decoding.native.beamsearch import (
+        NativeHotwords, ctc_beam_search_native, native_available)
+    if native_available():
+        nat = ctc_beam_search_native(
+            lp.astype(np.float32), LABELS, beam_width=16,
+            hotwords=NativeHotwords(LABELS, ["сан дата", "дата центр"], 3.0))
+        assert nat == want
+
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    dev = DeviceBeamSearchCTCDecoder(
+        beam_width=16, hotwords=["сан дата", "дата центр"], hotword_weight=3.0)
+    assert dev.forward(lp.astype(np.float32)) == want
 
 
 def test_short_hotword_commits_under_longer_phrase():

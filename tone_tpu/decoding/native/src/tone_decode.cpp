@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <map>
 #include <memory>
 #include <stdexcept>
 #include <sstream>
@@ -464,8 +465,9 @@ std::string word_of(const Decoder& dec, const std::vector<int32_t>& seq,
 // Hotword (contextual-biasing) automaton — the native twin of
 // tone_tpu/decoding/hotwords.py.  A character trie over label ids; each beam
 // carries (node, tentative boost); matching chars add `weight` tentatively,
-// a word boundary on a terminal node commits, falling off retracts (with a
-// single-step root restart).
+// a word boundary on a terminal node commits, and falling off rematches the
+// longest word-aligned suffix still on a hotword path (Aho–Corasick-style
+// failure links), else retracts and parks until the next boundary.
 // ---------------------------------------------------------------------------
 
 struct Hotwords {
@@ -473,6 +475,13 @@ struct Hotwords {
   int space_id = -1;
   std::vector<std::unordered_map<int32_t, int32_t>> children;
   std::vector<uint8_t> terminal;
+  // Failure machinery (exact twin of hotwords.py _build_links):
+  // goto_: fail-chain-resolved transitions consulted when the direct child
+  // is missing; tent_at: tentative outstanding at a node on any path;
+  // full: a fresh match's total value (weight * depth).
+  std::vector<std::unordered_map<int32_t, int32_t>> goto_;
+  std::vector<double> tent_at;
+  std::vector<double> full;
 
   // phrases_joined: '\n'-separated UTF-8 phrases. Every code point must be a
   // label (single-code-point labels, as parse_labels produces).
@@ -480,6 +489,7 @@ struct Hotwords {
     space_id = dec.space_id;
     children.assign(1, {});
     terminal.assign(1, 0);
+    std::vector<std::vector<int32_t>> paths(1);
     std::unordered_map<std::string, int32_t> label_id;
     for (size_t i = 0; i < dec.labels.size(); ++i)
       label_id[dec.labels[i]] = (int32_t)i;
@@ -505,6 +515,8 @@ struct Hotwords {
           children[node][it->second] = nxt;
           children.emplace_back();
           terminal.push_back(0);
+          paths.push_back(paths[node]);
+          paths.back().push_back(it->second);
           node = nxt;
         } else {
           node = child->second;
@@ -514,50 +526,96 @@ struct Hotwords {
       terminal[node] = 1;
       any = true;
     }
+    if (any) build_links(paths);
     return any;
+  }
+
+  // Word-aligned failure links + per-node boost values — the exact twin of
+  // hotwords.py _build_links (see there for the derivation).
+  void build_links(const std::vector<std::vector<int32_t>>& paths) {
+    size_t n = children.size();
+    std::map<std::vector<int32_t>, int32_t> node_of;
+    for (size_t i = 0; i < n; ++i) node_of[paths[i]] = (int32_t)i;
+    std::vector<int32_t> fail(n, -1);
+    tent_at.assign(n, 0.0);
+    full.assign(n, 0.0);
+    for (size_t i = 0; i < n; ++i) {
+      const auto& s = paths[i];
+      full[i] = weight * (double)s.size();
+      for (size_t k = 1; k < s.size(); ++k) {  // ascending k = longest first
+        if (s[k - 1] != space_id) continue;
+        auto it = node_of.find({s.begin() + k, s.end()});
+        if (it != node_of.end()) {
+          fail[i] = it->second;
+          break;
+        }
+      }
+      size_t last_commit = 0;
+      for (size_t j = s.size(); j-- > 1;) {  // deepest committed boundary
+        if (s[j] == space_id &&
+            terminal[node_of[{s.begin(), s.begin() + j}]]) {
+          last_commit = j;
+          break;
+        }
+      }
+      tent_at[i] = weight * (double)(s.size() - last_commit);
+    }
+    goto_.assign(n, {});
+    std::vector<int32_t> order(n);
+    for (size_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+    std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+      return paths[a].size() < paths[b].size();
+    });
+    for (int32_t i : order) {  // fail targets are shorter: already resolved
+      int32_t f = fail[i];
+      if (f < 0) continue;
+      goto_[i] = goto_[f];
+      for (const auto& kv : children[f]) goto_[i][kv.first] = kv.second;
+    }
   }
 
   // Advance on one emitted label; updates (node, tent) in place and returns
   // the score delta (mirrors hotwords.py HotwordScorer.step exactly).
   // Node -1 = parked (mid-word after a mismatch) until the next boundary.
   double step(int32_t& node, double& tent, int32_t label) const {
-    if (label == space_id) {
-      if (node >= 0 && terminal[node]) {
-        // Completed hotword: commit what's accrued.  A longer phrase may
-        // continue through this boundary — only the continuation
-        // (starting with this space) stays tentative.
-        auto it = children[node].find(label);
-        if (it != children[node].end()) {
-          node = it->second;
-          tent = weight;
-          return weight;
-        }
+    if (node < 0) {  // parked: matches only begin at word starts
+      if (label == space_id) {
         node = 0;
         tent = 0.0;
-        return 0.0;
       }
-      if (node >= 0) {
-        auto it = children[node].find(label);
-        if (it != children[node].end()) {  // mid-phrase boundary
-          node = it->second;
-          tent += weight;
-          return weight;
-        }
-      }
-      double d = -tent;  // failed or parked: retract, rearm for next word
-      node = 0;
-      tent = 0.0;
-      return d;
+      return 0.0;
     }
-    if (node < 0) return 0.0;  // parked: matches only begin at word starts
+    bool commit = label == space_id && terminal[node];
     auto it = children[node].find(label);
     if (it != children[node].end()) {
+      if (commit) {
+        // Completed hotword with a continuing longer phrase: commit what's
+        // accrued; only the continuation (this space) stays tentative.
+        node = it->second;
+        tent = weight;
+        return weight;
+      }
       node = it->second;
       tent += weight;
       return weight;
     }
-    double d = -tent;
-    node = -1;
+    auto gt = goto_[node].find(label);
+    if (gt != goto_[node].end()) {
+      // Fell off this match: re-enter at the longest word-aligned suffix
+      // still on a hotword path.  A commit keeps its accrued boost;
+      // otherwise the old tentative retracts against the fresh value.
+      double d = full[gt->second] - (commit ? 0.0 : tent);
+      node = gt->second;
+      tent = tent_at[node];
+      return d;
+    }
+    double d = commit ? 0.0 : -tent;
+    if (label == space_id) {
+      node = 0;  // rearm for the next word
+      tent = 0.0;
+      return d;
+    }
+    node = -1;  // park until the next boundary
     tent = 0.0;
     return d;
   }

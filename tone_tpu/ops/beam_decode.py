@@ -95,34 +95,24 @@ def _mix(h1, h2, v):
 
 def _hw_expand(hw, hw_node, hw_tent, hw_bias, is_space, lead_space):
     """Hotword automaton step for every (beam, char) expansion.  Exactly
-    HotwordScorer.step (tone_tpu/decoding/hotwords.py): matches begin only
-    at word starts (node -1 = parked until the next boundary); matching
-    chars extend tentatively; a boundary on a terminal node commits (and a
-    longer phrase may keep matching — only the continuation stays
-    tentative); falling off retracts; a collapsed (empty-word) space
-    doesn't step.  Returns (node, tentative, bias) of shape (B, W, V-1)."""
-    whw = hw.weight
+    HotwordScorer.step (tone_tpu/decoding/hotwords.py) — including the
+    Aho–Corasick word-aligned suffix rematch — which is possible as three
+    dense per-(node, char) gathers because on any reachable active node
+    the tentative boost is the precomputed ``tent_after`` value (the
+    invariant documented in hotwords.py).  Parked (-1) until the next
+    boundary; a collapsed (empty-word) space doesn't step.  Returns
+    (node, tentative, bias) of shape (B, W, V-1)."""
     parked = (hw_node < 0)[:, :, None]                       # (B, W, 1)
     safe = jnp.clip(hw_node, 0, None)
-    rows = jnp.take(hw.children, safe, axis=0)               # (B, W, n_char)
-    term = (jnp.take(hw.terminal, safe, axis=0)[:, :, None]
-            & ~parked)                                       # (B, W, 1)
-    on = (rows >= 0) & ~parked
+    nxt = jnp.take(hw.next_node, safe, axis=0)               # (B, W, n_char)
+    tnt = jnp.take(hw.tent_after, safe, axis=0)
+    dlt = jnp.take(hw.delta, safe, axis=0)
     t3 = hw_tent[:, :, None]
     node3 = hw_node[:, :, None]
-    # non-space chars: advance, or retract + park until the next boundary
-    ch_node = jnp.where(on, rows, jnp.where(parked, node3, -1))
-    ch_tent = jnp.where(on, t3 + whw, 0.0)
-    ch_delta = jnp.where(on, whw, jnp.where(parked, 0.0, -t3))
-    # the space char: commit(+continue) / mid-phrase continue / rearm
-    commit_cont = term & on
-    sp_node = jnp.where(on, rows, 0)
-    sp_tent = jnp.where(commit_cont, whw,
-                        jnp.where(on, t3 + whw, 0.0))
-    sp_delta = jnp.where(on, whw, jnp.where(term, 0.0, -t3))
-    exp_node = jnp.where(is_space, sp_node, ch_node)
-    exp_tent = jnp.where(is_space, sp_tent, ch_tent)
-    exp_delta = jnp.where(is_space, sp_delta, ch_delta)
+    # parked: stay mid-word; a space rearms at the root
+    exp_node = jnp.where(parked, jnp.where(is_space, 0, node3), nxt)
+    exp_tent = jnp.where(parked, 0.0, tnt)
+    exp_delta = jnp.where(parked, 0.0, dlt)
     # collapsed spaces (lead_space; space-after-space is dead anyway) emit
     # no text: no automaton step
     exp_node = jnp.where(lead_space, node3, exp_node)
@@ -446,35 +436,46 @@ def top_texts(tokens, lens) -> list[str]:
 
 
 class HotwordTables(NamedTuple):
-    """Dense automaton tables (device arrays).  Node 0 is the root; node
-    count is padded to a power of two so changing the phrase list rarely
-    recompiles."""
+    """Dense automaton step tables (device arrays): for an active node n and
+    emitted char c, row gathers give the full transition — next node (-1 =
+    park), the tentative boost AT the new node, and the score delta (with
+    word-boundary commits, retractions, and Aho–Corasick word-aligned
+    suffix rematches all folded in at build time).  Node 0 is the root;
+    node count is padded to a power of two so changing the phrase list
+    rarely recompiles."""
 
-    children: jnp.ndarray   # (n_nodes, n_char) int32 child ids, -1 = none
-    terminal: jnp.ndarray   # (n_nodes,) bool
-    weight: jnp.ndarray     # () f32 boost per matching character
+    next_node: jnp.ndarray   # (n_nodes, n_char) int32, -1 = parked
+    tent_after: jnp.ndarray  # (n_nodes, n_char) f32 tentative at next_node
+    delta: jnp.ndarray       # (n_nodes, n_char) f32 score delta
+    weight: jnp.ndarray      # () f32 boost per matching character
 
 
 def make_hotword_tables(phrases, weight: float = 10.0) -> HotwordTables:
-    """Build device tables from words/phrases (host-side, once per list)."""
+    """Build device tables from words/phrases (host-side, once per list):
+    every (node, char) transition is one HotwordScorer.step simulation —
+    sound because a reachable active node's tentative is always the
+    scorer's precomputed per-node value (hotwords.py invariant)."""
     from tone_tpu.decoding.hotwords import HotwordScorer
 
     scorer = HotwordScorer(phrases, weight)
     n_char = len(LABELS)
     n_nodes = len(scorer._children)
     padded = 1 << (n_nodes - 1).bit_length() if n_nodes > 1 else 1
-    children = np.full((padded, n_char), -1, np.int32)
-    terminal = np.zeros(padded, bool)
-    label_id = {c: i for i, c in enumerate(LABELS)}
+    next_node = np.full((padded, n_char), -1, np.int32)
+    tent_after = np.zeros((padded, n_char), np.float32)
+    delta = np.zeros((padded, n_char), np.float32)
     for node, kids in enumerate(scorer._children):
-        for ch, child in kids.items():
-            cid = label_id.get(ch)
-            if cid is None:
+        for ch in kids:
+            if ch not in LABELS:
                 raise ValueError(f"hotword character {ch!r} not in the label set")
-            children[node, cid] = child
-        terminal[node] = bool(scorer._terminal[node])
-    return HotwordTables(jnp.asarray(children), jnp.asarray(terminal),
-                         jnp.float32(weight))
+        tent = scorer._tent_at[node]
+        for cid, ch in enumerate(LABELS):
+            (nxt, t_new), d = scorer.step((node, tent), ch)
+            next_node[node, cid] = nxt
+            tent_after[node, cid] = t_new
+            delta[node, cid] = d
+    return HotwordTables(jnp.asarray(next_node), jnp.asarray(tent_after),
+                         jnp.asarray(delta), jnp.float32(weight))
 
 
 class HotBeamState(NamedTuple):
