@@ -217,9 +217,10 @@ def test_engine_interim_device_beam_uses_hotword_arena():
 
 
 def test_per_request_hotwords_engine():
-    """set_stream_hotwords routes that stream's finals through a host beam
-    decoder carrying the request's hotwords, while other streams keep the
-    engine-wide (device) decoder; results still flow for both."""
+    """set_stream_hotwords gives that stream a DEVICE decoder override
+    carrying the request's hotwords (sharing the engine decoder's LM),
+    while other streams keep the engine-wide decoder; results still flow
+    for both."""
     import sys
     from pathlib import Path
 
@@ -229,7 +230,7 @@ def test_per_request_hotwords_engine():
     from train_tiny_e2e import tiny_config
 
     from tone_tpu.core.model import init_model_params
-    from tone_tpu.decoder import BeamSearchCTCDecoder, DeviceBeamSearchCTCDecoder
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
     from tone_tpu.runtime.engine import MultiStreamEngine, UnknownStreamError
 
     cfg = tiny_config()
@@ -241,8 +242,9 @@ def test_per_request_hotwords_engine():
         plain = engine.open_stream()
         engine.set_stream_hotwords(biased, ["мир"], 2.0)
         override = engine._streams[biased].decoder
-        assert isinstance(override, BeamSearchCTCDecoder)
-        assert override._hotwords is not None
+        assert isinstance(override, DeviceBeamSearchCTCDecoder)
+        assert override.hotword_tables is not None
+        assert override.beam_width == 8
 
         rng = np.random.default_rng(0)
         finals = {biased: [], plain: []}
@@ -257,6 +259,51 @@ def test_per_request_hotwords_engine():
 
         with pytest.raises(UnknownStreamError):
             engine.set_stream_hotwords(12345, ["мир"])
+    finally:
+        engine.shutdown()
+
+
+def test_per_request_hotwords_keep_fused_lm():
+    """With a fused-LM engine decoder, the per-request override is a fused
+    DEVICE decoder sharing the same LM object — the device-resident tables
+    upload once, and the biased stream keeps full shallow-fusion quality
+    (pre-rematch behavior dropped to LM-free host decode)."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    from tone_tpu.decoding.device_lm import DeviceLM
+    from tone_tpu.decoding.estimate import estimate_ngram_lm
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    tables = estimate_ngram_lm([["мир", "дом"], ["дом"], ["мир"]], order=2)
+    base = DeviceBeamSearchCTCDecoder(DeviceLM.from_ngrams(tables),
+                                      beam_width=8, fusion=True)
+    cfg = tiny_config()
+    engine = MultiStreamEngine(init_model_params(jax.random.PRNGKey(0), cfg),
+                               cfg, n_slots=2, decoder=base)
+    try:
+        sid = engine.open_stream()
+        engine.set_stream_hotwords(sid, ["мир"], 2.0)
+        override = engine._streams[sid].decoder
+        assert isinstance(override, DeviceBeamSearchCTCDecoder)
+        assert override.fusion and override._lm is base._lm
+        assert override.hotword_tables is not None
+
+        rng = np.random.default_rng(0)
+        finals = []
+        for i in range(3):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            engine.feed(sid, chunk, is_last=(i == 2))
+            for _, futures in engine.tick().items():
+                finals.extend(f.result() for f in futures)
+        assert finals and all(isinstance(p.text, str) for p in finals)
     finally:
         engine.shutdown()
 

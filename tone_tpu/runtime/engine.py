@@ -207,29 +207,39 @@ class MultiStreamEngine:
                             hotword_weight: float = 10.0) -> None:
         """Per-REQUEST contextual biasing: this stream's final phrases (and
         its carried interim search, if interim_beam) decode with the given
-        hotwords — e.g. the contact names of one call.  Decodes on the host
-        beam search (the engine-wide device decoder keeps serving the other
-        streams; device hotword tables are per-deployment, not per-request,
-        since each list is its own compiled constant).  The engine's LM is
-        reused when host-compatible; a device-resident LM falls back to
-        LM-free + boost for this stream.  An empty/None list CLEARS an
-        earlier override (back to the engine-wide decoder).
+        hotwords — e.g. the contact names of one call.  With a device
+        engine decoder the override is a device decoder too, sharing the
+        engine LM's device-resident tables (hotword tables are jit
+        ARGUMENTS padded to power-of-two node counts, so same-size request
+        lists reuse compiled programs) — fused-LM quality is kept for the
+        biased stream; it decodes per-phrase beside the other streams'
+        batched call.  With a host engine decoder the override is a host
+        beam reusing its LM.  An empty/None list CLEARS an earlier override
+        (back to the engine-wide decoder).
         """
         override = None
         if hotwords:
-            from tone_tpu.decoder import BeamSearchCTCDecoder
+            from tone_tpu.decoder import (BeamSearchCTCDecoder,
+                                          DeviceBeamSearchCTCDecoder)
             from tone_tpu.decoding.lm import LanguageModel
 
             base = self.decoder
-            lm = getattr(base, "_lm", None)
-            host_lm = lm if isinstance(lm, LanguageModel) else None
-            override = BeamSearchCTCDecoder(
-                host_lm, native_lm=getattr(base, "_native_lm", None),
-                alpha=getattr(base, "alpha", 0.4),
-                beta=getattr(base, "beta", 0.9),
-                beam_width=getattr(base, "beam_width", None)
-                or BeamSearchCTCDecoder.BEAM_WIDTH,
-                hotwords=hotwords, hotword_weight=hotword_weight)
+            if isinstance(base, DeviceBeamSearchCTCDecoder):
+                override = DeviceBeamSearchCTCDecoder(
+                    base._lm, alpha=base.alpha, beta=base.beta,
+                    beam_width=base.beam_width, nbest=base.nbest_hyps,
+                    max_len=base.max_len, fusion=base.fusion,
+                    hotwords=hotwords, hotword_weight=hotword_weight)
+            else:
+                lm = getattr(base, "_lm", None)
+                host_lm = lm if isinstance(lm, LanguageModel) else None
+                override = BeamSearchCTCDecoder(
+                    host_lm, native_lm=getattr(base, "_native_lm", None),
+                    alpha=getattr(base, "alpha", 0.4),
+                    beta=getattr(base, "beta", 0.9),
+                    beam_width=getattr(base, "beam_width", None)
+                    or BeamSearchCTCDecoder.BEAM_WIDTH,
+                    hotwords=hotwords, hotword_weight=hotword_weight)
         with self._lock:
             stream = self._streams.get(sid)
             if stream is None:
