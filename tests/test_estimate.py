@@ -273,3 +273,105 @@ def test_estimated_lm_drives_beam_search():
     logits[3:, blank] = 0.0
     logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
     assert dec.forward(logprobs) == "мир"
+
+
+# --- native (C++) estimator twin -------------------------------------------
+
+
+def _native_est():
+    from tone_tpu.decoding.native import estimate as ne
+
+    if not ne.native_available():
+        pytest.skip("no C++ toolchain")
+    return ne
+
+
+def test_native_estimator_matches_python(tmp_path):
+    """Corpus-file -> ARPA native path emits the same model as the Python
+    estimator (gram sets exactly; probs/backoffs to float rounding) across
+    orders and prune settings."""
+    import random
+
+    ne = _native_est()
+    rng = random.Random(0)
+    vocab = ["мир", "дом", "сан", "дата", "центр", "привет", "да", "нет"]
+    for trial in range(8):
+        lines = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+                 for _ in range(rng.randint(3, 50))]
+        order = rng.randint(1, 5)
+        prune = None
+        if order > 1 and rng.random() < 0.5:
+            k = rng.randint(1, order)
+            prune = [0] + sorted(rng.randint(0, 2) for _ in range(k - 1))
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("\n".join(lines) + "\n", encoding="utf-8")
+        py = estimate_from_text(lines, order=order, prune=prune)
+        ne.estimate_arpa_native(corpus, tmp_path / "lm.arpa",
+                                order=order, prune=prune)
+        nat = ArpaLM.from_file(tmp_path / "lm.arpa")._ngrams
+        assert len(py) == len(nat)
+        for n, (pt, nt) in enumerate(zip(py, nat)):
+            assert set(pt) == set(nt), (trial, order, prune, n)
+            for g in pt:
+                assert pt[g][0] == pytest.approx(nt[g][0], abs=2e-7)
+                assert pt[g][1] == pytest.approx(nt[g][1], abs=2e-7)
+
+
+def test_native_estimator_lowercases_and_errors(tmp_path):
+    """UTF-8 lowercasing (Cyrillic incl. Ё) matches the Python path; the
+    error twins (reserved token, bad prune) raise like estimate_ngram_lm."""
+    ne = _native_est()
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("ЁЖ Привет МИР\nёж мир\n", encoding="utf-8")
+    ne.estimate_arpa_native(corpus, tmp_path / "lm.arpa", order=2)
+    nat = ArpaLM.from_file(tmp_path / "lm.arpa")._ngrams
+    py = estimate_from_text(["ЁЖ Привет МИР", "ёж мир"], order=2)
+    assert set(nat[0]) == set(py[0])
+    assert ("ёж",) in nat[0] and ("привет",) in nat[0]
+
+    corpus.write_text("привет <s> мир\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="reserved token"):
+        ne.estimate_arpa_native(corpus, tmp_path / "x.arpa", order=2)
+    corpus.write_text("привет мир\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="unigrams cannot be pruned"):
+        ne.estimate_arpa_native(corpus, tmp_path / "x.arpa", order=2,
+                                prune=[1, 1])
+    with pytest.raises(ValueError, match="non-decreasing"):
+        ne.estimate_arpa_native(corpus, tmp_path / "x.arpa", order=3,
+                                prune=[0, 2, 1])
+    (tmp_path / "empty.txt").write_text("\n\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ne.estimate_arpa_native(tmp_path / "empty.txt", tmp_path / "x.arpa",
+                                order=2)
+
+
+def test_cli_lm_native(tmp_path, capsys, monkeypatch):
+    """tone_tpu lm --native: direct ARPA output and binary conversion both
+    produce loadable artifacts with the same gram counts as the Python
+    path."""
+    import json
+    import sys
+
+    _native_est()
+    from tone_tpu.__main__ import main as cli_main
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("привет мир\nмир дом\nдом\n", encoding="utf-8")
+
+    def run(argv):
+        monkeypatch.setattr(sys, "argv", ["tone_tpu", *argv])
+        cli_main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r_py = run(["lm", str(corpus), str(tmp_path / "py.arpa"), "--order", "3"])
+    r_nat = run(["lm", str(corpus), str(tmp_path / "nat.arpa"), "--order",
+                 "3", "--native"])
+    assert r_nat["ngrams"] == r_py["ngrams"]
+
+    r_bin = run(["lm", str(corpus), str(tmp_path / "nat.bin"), "--order", "3",
+                 "--native", "--ppl", str(corpus)])
+    assert r_bin["ngrams"] == r_py["ngrams"] and r_bin["ppl"] > 0
+    from tone_tpu.decoding.lm import load_lm
+
+    lm = load_lm(tmp_path / "nat.bin")
+    assert lm.score(("привет",), "мир") < 0

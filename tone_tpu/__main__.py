@@ -177,6 +177,10 @@ def main() -> None:
     p_lm.add_argument("--ppl", type=Path, default=None,
                       help="held-out text file: report perplexity of the "
                            "built model")
+    p_lm.add_argument("--native", action="store_true",
+                      help="estimate with the C++ estimator (~5x the Python "
+                           "path; the scale choice for 10M+-token corpora — "
+                           "same model up to float rounding, fuzz-pinned)")
 
     p_ex = sub.add_parser("export", help="serialize StableHLO artifacts")
     p_ex.add_argument("out_dir", type=Path)
@@ -373,9 +377,41 @@ def main() -> None:
             # corpus counting, not after
             raise SystemExit("--quant/--bhiksha require --binary trie and a "
                              "binary output path")
-        with open(args.corpus, encoding="utf-8") as f:
-            tables = estimate_from_text(f, order=args.order, prune=args.prune)
-        if is_arpa:
+        if args.native:
+            from tone_tpu.decoding.native.estimate import (
+                estimate_arpa_native, native_available)
+
+            if not native_available():
+                raise SystemExit("--native: no C++ toolchain available")
+            if is_arpa and not name.endswith(".gz"):
+                # native writes the final ARPA directly — no Python tables
+                estimate_arpa_native(args.corpus, args.out,
+                                     order=args.order, prune=args.prune)
+                tables = None
+            else:
+                # native ARPA to a sibling temp, then convert to the
+                # requested artifact through the standard readers/writers
+                import tempfile
+
+                from tone_tpu.decoding.lm import ArpaLM
+
+                with tempfile.NamedTemporaryFile(
+                        suffix=".arpa", dir=args.out.parent,
+                        delete=False) as tf:
+                    tmp_arpa = Path(tf.name)
+                try:
+                    estimate_arpa_native(args.corpus, tmp_arpa,
+                                         order=args.order, prune=args.prune)
+                    tables = ArpaLM.from_file(tmp_arpa)._ngrams
+                finally:
+                    tmp_arpa.unlink(missing_ok=True)
+        else:
+            with open(args.corpus, encoding="utf-8") as f:
+                tables = estimate_from_text(f, order=args.order,
+                                            prune=args.prune)
+        if tables is None:
+            pass  # already written (native direct-ARPA path)
+        elif is_arpa:
             write_arpa(tables, args.out)
         elif args.binary == "trie":
             from tone_tpu.decoding.kenlm_trie import write_kenlm_trie
@@ -387,8 +423,22 @@ def main() -> None:
             from tone_tpu.decoding.kenlm_binary import write_kenlm_binary
 
             write_kenlm_binary(tables, args.out)
-        report = {"out": str(args.out), "order": args.order,
-                  "ngrams": [len(t) for t in tables]}
+        if tables is None and (args.ppl is not None):
+            from tone_tpu.decoding.lm import ArpaLM
+
+            tables = ArpaLM.from_file(args.out)._ngrams
+        if tables is None:
+            # native direct-ARPA path without --ppl: counts from the header
+            import re
+
+            with open(args.out, encoding="utf-8") as f:
+                head = f.read(4096)
+            counts = [int(m) for m in re.findall(r"ngram \d+=(\d+)", head)]
+            report = {"out": str(args.out), "order": args.order,
+                      "ngrams": counts}
+        else:
+            report = {"out": str(args.out), "order": args.order,
+                      "ngrams": [len(t) for t in tables]}
         if args.ppl is not None:
             from tone_tpu.decoding.estimate import perplexity
             from tone_tpu.decoding.lm import ArpaLM
