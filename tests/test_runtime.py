@@ -168,6 +168,52 @@ def test_engine_slot_exhaustion_and_release(variables, cfg):
     engine.close(c)
 
 
+def test_engine_candidate_queue(variables, cfg):
+    """max_candidates: streams beyond the slot count queue as candidates
+    (chunks buffer host-side), bind oldest-first when slots free, and
+    produce the same transcripts as slot-bound streams — Triton's
+    max_candidate_sequences semantics (triton/model/config.pbtxt:34-36)."""
+    rng = np.random.default_rng(0)
+    audio = rng.integers(-20000, 20000, 2400 * 3).astype(np.int16)
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=1, max_candidates=2)
+    engine.IDLE_EVICT_SECONDS = 3600  # no idle reaping during the test
+    sids = [engine.open_stream() for _ in range(3)]  # 1 bound + 2 candidates
+    with pytest.raises(RuntimeError, match="no free stream slots"):
+        engine.open_stream()  # candidates exhausted too
+    assert engine._streams[sids[0]].slot is not None
+    assert engine._streams[sids[1]].slot is None
+    assert engine._streams[sids[2]].slot is None
+
+    results = {s: [] for s in sids}
+    for sid in sids:  # all three feed up front; candidates buffer
+        for i in range(3):
+            engine.feed(sid, audio[i * 2400:(i + 1) * 2400],
+                        is_last=(i == 2))
+    for _ in range(16):
+        for sid, futs in engine.tick().items():
+            results[sid].extend(f.result() for f in futs)
+    assert engine.stats.pending_streams == 0
+    texts = {s: [(p.text, p.start_time, p.end_time) for p in results[s]]
+             for s in sids}
+    assert texts[sids[0]] and texts[sids[0]] == texts[sids[1]] == texts[sids[2]]
+
+    # a candidate that closes while waiting never binds and frees its spot
+    engine2 = MultiStreamEngine(variables, cfg, n_slots=1, max_candidates=1)
+    engine2.IDLE_EVICT_SECONDS = 3600
+    bound = engine2.open_stream()
+    waiting = engine2.open_stream()
+    engine2.close(waiting)
+    replacement = engine2.open_stream()  # the closed candidate's spot
+    engine2.close_stream(bound)
+    engine2.feed(replacement, audio[:2400], is_last=True)
+    for _ in range(4):
+        engine2.tick()
+    assert engine2._streams.get(replacement) is None  # ran to completion
+    engine.shutdown()
+    engine2.shutdown()
+
+
 def test_engine_idle_eviction(variables, cfg, monkeypatch):
     engine = MultiStreamEngine(variables, cfg, n_slots=2)
     engine.IDLE_EVICT_SECONDS = 0.0  # evict immediately once idle

@@ -33,7 +33,7 @@ class UnknownStreamError(KeyError):
 
 @dataclass
 class _Stream:
-    slot: int
+    slot: int | None            # None = candidate waiting for a slot
     pending: list = field(default_factory=list)  # queued (chunk, is_last)
     last_activity: float = field(default_factory=time.monotonic)
     finished: bool = False
@@ -61,6 +61,7 @@ class EngineStats:
     chunks_processed: int = 0
     phrases_decoded: int = 0
     active_streams: int = 0
+    pending_streams: int = 0    # candidates queued for a slot
     last_tick_seconds: float = 0.0
     last_host_seconds: float = 0.0  # tick cost excluding the device step wait
 
@@ -92,7 +93,8 @@ class MultiStreamEngine:
                  force_evict_grace: float | None = None,
                  final_decode_batch: int = 64,
                  word_timestamps: bool = False,
-                 nbest: int = 0) -> None:
+                 nbest: int = 0,
+                 max_candidates: int = 0) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -135,7 +137,14 @@ class MultiStreamEngine:
         stream starts with it; ``set_stream_nbest`` overrides per request).
         >1 routes finals through per-phrase ``decoder.nbest`` calls instead
         of the batched device_finals path — a real throughput cost at arena
-        scale, so the default is top-1."""
+        scale, so the default is top-1.
+
+        ``max_candidates``: streams accepted beyond the slot count.  With
+        every slot busy, up to this many new streams queue as CANDIDATES —
+        chunks buffer host-side, the oldest candidate binds whenever a slot
+        frees (Triton's ``sequence_batching{oldest{max_candidate_sequences:
+        4096}}``, triton/model/config.pbtxt:30-37).  0 (default) keeps the
+        reject-at-capacity behavior."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
@@ -174,6 +183,8 @@ class MultiStreamEngine:
         self._labels = config.labels
         self._splitter = BatchLogprobSplitter(n_slots)
         self._streams: dict[int, _Stream] = {}
+        self.max_candidates = max(0, int(max_candidates))
+        self._pending_bind: list[int] = []  # candidate sids, open order
         self._free_slots = list(range(n_slots))
         self._slot_reset = np.zeros(n_slots, bool)
         self._next_id = 0
@@ -189,12 +200,28 @@ class MultiStreamEngine:
     # -- stream lifecycle --------------------------------------------------
 
     def open_stream(self) -> int:
-        """Acquire a slot for a new stream; returns the stream id."""
+        """Acquire a slot for a new stream; returns the stream id.
+
+        With every slot busy (and nothing evictable) the stream is accepted
+        as a CANDIDATE when ``max_candidates`` allows: its chunks buffer
+        host-side and it binds to the oldest freed slot on a later tick.
+        Raises RuntimeError when candidates are exhausted too.
+        """
         with self._lock:
             if not self._free_slots:
                 self._evict_idle_locked(force_one=True)
             if not self._free_slots:
-                raise RuntimeError("no free stream slots")
+                # drop candidates that closed while waiting before counting
+                self._pending_bind = [s for s in self._pending_bind
+                                      if s in self._streams]
+                if len(self._pending_bind) >= self.max_candidates:
+                    raise RuntimeError("no free stream slots")
+                sid = self._next_id
+                self._next_id += 1
+                self._streams[sid] = _Stream(slot=None,
+                                             nbest=self.default_nbest)
+                self._pending_bind.append(sid)
+                return sid
             slot = self._free_slots.pop()
             sid = self._next_id
             self._next_id += 1
@@ -202,6 +229,19 @@ class MultiStreamEngine:
             self._slot_reset[slot] = True
             self._splitter.reset(slot)
             return sid
+
+    def _bind_candidates_locked(self) -> None:
+        """Bind the oldest waiting candidates to freed slots (FIFO —
+        Triton's OldestSequenceBatcher scheduling order)."""
+        while self._free_slots and self._pending_bind:
+            sid = self._pending_bind.pop(0)
+            stream = self._streams.get(sid)
+            if stream is None:  # candidate closed while waiting
+                continue
+            slot = self._free_slots.pop()
+            stream.slot = slot
+            self._slot_reset[slot] = True
+            self._splitter.reset(slot)
 
     def set_stream_hotwords(self, sid: int, hotwords,
                             hotword_weight: float = 10.0) -> None:
@@ -299,10 +339,13 @@ class MultiStreamEngine:
             stream.last_activity = time.monotonic()
 
     def has_backlog(self) -> bool:
-        """True if any stream has chunks queued (the tick loop skips its
-        sleep while draining a backlog — e.g. faster-than-realtime uploads)."""
+        """True if any slot-bound stream has chunks queued (the tick loop
+        skips its sleep while draining a backlog — e.g. faster-than-realtime
+        uploads).  Candidates' buffered chunks don't count: they can't tick
+        until a slot frees, so spinning on them would busy-wait."""
         with self._lock:
-            return any(s.pending for s in self._streams.values())
+            return any(s.pending and s.slot is not None
+                       for s in self._streams.values())
 
     def close_stream(self, sid: int) -> None:
         """Mark end of stream: the final chunk is flagged is_last (a zero
@@ -330,6 +373,7 @@ class MultiStreamEngine:
         t0 = time.monotonic()
         with self._lock:
             self._evict_idle_locked()
+            self._bind_candidates_locked()
             n = self.arena.n_slots
             chunks = np.zeros((n, self.config.audio_chunk_samples), np.int16)
             active = np.zeros(n, bool)
@@ -338,13 +382,15 @@ class MultiStreamEngine:
 
             ticking: list[tuple[int, _Stream, bool]] = []
             for sid, stream in self._streams.items():
-                if not stream.pending:
-                    continue
+                if not stream.pending or stream.slot is None:
+                    continue  # nothing queued, or a candidate awaiting a slot
                 chunk, is_last = stream.pending.pop(0)
                 chunks[stream.slot] = chunk
                 active[stream.slot] = True
                 ticking.append((sid, stream, is_last))
-            self.stats.active_streams = len(self._streams)
+            self.stats.pending_streams = len(self._pending_bind)
+            self.stats.active_streams = (len(self._streams)
+                                         - self.stats.pending_streams)
 
         if not ticking:
             if reset.any():
@@ -691,7 +737,7 @@ class MultiStreamEngine:
 
     def _release_locked(self, sid: int) -> None:
         stream = self._streams.pop(sid, None)
-        if stream is not None:
+        if stream is not None and stream.slot is not None:
             self._free_slots.append(stream.slot)
 
     def close(self, sid: int) -> None:
@@ -712,7 +758,8 @@ class MultiStreamEngine:
             # slot to a newcomer).
             candidates = [
                 sid for sid, s in self._streams.items()
-                if not s.pending
+                if not s.pending and s.slot is not None  # stealing a slotless
+                # candidate frees nothing
                 and now - s.last_activity > self.FORCE_EVICT_GRACE_SECONDS]
             if candidates:
                 idle = [min(candidates,

@@ -30,6 +30,9 @@ def render_metrics(engine) -> str:
         "# HELP tone_slots_total Stream slot capacity of the arena.",
         "# TYPE tone_slots_total gauge",
         f"tone_slots_total {engine.arena.n_slots}",
+        "# HELP tone_pending_streams Candidate streams queued for a slot.",
+        "# TYPE tone_pending_streams gauge",
+        f"tone_pending_streams {s.pending_streams}",
         "# HELP tone_last_tick_seconds Wall time of the last tick.",
         "# TYPE tone_last_tick_seconds gauge",
         f"tone_last_tick_seconds {s.last_tick_seconds:.6f}",

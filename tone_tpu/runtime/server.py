@@ -337,6 +337,13 @@ def main() -> None:
                         help="device interim-beam width (with --interim-device-beam)")
     parser.add_argument("--interim-beam-max-len", type=int, default=2048,
                         help="device interim-beam max phrase frames")
+    parser.add_argument("--max-candidates", type=int, default=4096,
+                        help="streams accepted beyond --slots: they queue "
+                             "as candidates (chunks buffer host-side) and "
+                             "bind oldest-first as slots free — Triton's "
+                             "max_candidate_sequences semantics (default "
+                             "4096, its config value); 0 rejects at "
+                             "capacity with close code 1013")
     parser.add_argument("--idle-evict-seconds", type=float, default=None,
                         help="idle stream reap timeout (default 15 s, Triton parity)")
     parser.add_argument("--force-evict-grace", type=float, default=None,
@@ -382,7 +389,8 @@ def main() -> None:
                                idle_evict_seconds=args.idle_evict_seconds,
                                force_evict_grace=args.force_evict_grace,
                                word_timestamps=args.word_times,
-                               nbest=args.nbest)
+                               nbest=args.nbest,
+                               max_candidates=args.max_candidates)
     asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
 
 
