@@ -214,6 +214,73 @@ def test_engine_candidate_queue(variables, cfg):
     engine2.shutdown()
 
 
+def test_engine_suspend_resume_migration(variables, cfg, audio):
+    """suspend_stream/resume_stream: a stream suspended mid-utterance and
+    resumed — on the SAME engine and on a DIFFERENT engine (migration) —
+    produces exactly the transcripts and timestamps of an uninterrupted
+    stream (acoustic blob + splitter carry + global frame offset travel
+    with the snapshot)."""
+    from tone_tpu.runtime.engine import UnknownStreamError
+
+    padded = np.pad(audio, (cfg.padding, cfg.padding))
+    padded = np.pad(padded, (0, -len(padded) % 2400))
+    n_chunks = len(padded) // 2400
+    cut = n_chunks // 2
+
+    def run_chunks(engine, sid, lo, hi, out):
+        for i in range(lo, hi):
+            engine.feed(sid, padded[i * 2400:(i + 1) * 2400],
+                        is_last=(i == n_chunks - 1))
+            for s, futs in engine.tick().items():
+                out.extend(f.result() for f in futs)
+
+    def drain(engine, out, sid):
+        for _ in range(4):
+            for s, futs in engine.tick().items():
+                out.extend(f.result() for f in futs)
+
+    # uninterrupted baseline
+    eng = MultiStreamEngine(variables, cfg, n_slots=2)
+    base: list = []
+    sid = eng.open_stream()
+    run_chunks(eng, sid, 0, n_chunks, base)
+    drain(eng, base, sid)
+
+    # suspend mid-stream, resume on the same engine
+    eng2 = MultiStreamEngine(variables, cfg, n_slots=2)
+    got: list = []
+    sid = eng2.open_stream()
+    run_chunks(eng2, sid, 0, cut, got)
+    snap = eng2.suspend_stream(sid)
+    with pytest.raises(UnknownStreamError):
+        eng2.feed(sid, padded[:2400])  # the old id is gone
+    assert snap["acoustic_state"].shape == (cfg.flat_state_size,)
+    assert snap["acoustic_state"].dtype == np.float16
+    sid2 = eng2.resume_stream(snap)
+    run_chunks(eng2, sid2, cut, n_chunks, got)
+    drain(eng2, got, sid2)
+
+    # migrate: resume the same snapshot on a THIRD engine
+    eng3 = MultiStreamEngine(variables, cfg, n_slots=2)
+    moved: list = []
+    sid3 = eng3.resume_stream(snap)
+    run_chunks(eng3, sid3, cut, n_chunks, moved)
+    drain(eng3, moved, sid3)
+
+    key = lambda ps: [(p.text, p.start_time, p.end_time) for p in ps]
+    assert key(base) == key(got) == key(moved)
+    assert base  # non-trivial
+
+    # undrained streams refuse to suspend
+    eng4 = MultiStreamEngine(variables, cfg, n_slots=1)
+    s4 = eng4.open_stream()
+    eng4.feed(s4, padded[:2400])
+    with pytest.raises(RuntimeError, match="queued chunks"):
+        eng4.suspend_stream(s4)
+    for e in (eng, eng2, eng3, eng4):
+        e.shutdown()
+
+
 def test_engine_idle_eviction(variables, cfg, monkeypatch):
     engine = MultiStreamEngine(variables, cfg, n_slots=2)
     engine.IDLE_EVICT_SECONDS = 0.0  # evict immediately once idle

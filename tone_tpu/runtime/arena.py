@@ -67,6 +67,7 @@ class StreamArena:
         if sharding is not None:
             state = jax.device_put(state, sharding)
         self.state = state
+        self._axes = batch_axes_tree(config)
         self._step = self._build_step()
 
     def _build_step(self):
@@ -111,6 +112,35 @@ class StreamArena:
             jnp.asarray(np.asarray(chunks, np.int16)),
             jnp.asarray(active), jnp.asarray(reset))
         return np.asarray(logprobs)
+
+    def read_slot(self, slot: int) -> np.ndarray:
+        """One slot's recurrent state as the reference-compatible flat fp16
+        blob ((STATE_SIZE,), onnx_wrapper.py:34) — the suspend half of
+        stream migration.  Safe concurrently with a tick (state trees are
+        immutable; an inactive slot's values are unchanged by the merge)."""
+        from tone_tpu.core.model import pack_state
+
+        row = jax.tree.map(
+            lambda x, ax: jnp.take(x, jnp.array([slot]), axis=ax),
+            self.state, self._axes)
+        return np.asarray(pack_state(row, self.config))[0]
+
+    def write_slot(self, slot: int, blob: np.ndarray) -> None:
+        """Restore a ``read_slot`` blob (possibly from another arena, host,
+        or chip — or the reference's own ONNX state) into a slot.  NOT safe
+        concurrently with a tick: the tick's output tree would overwrite
+        this update — callers serialize against the device step
+        (MultiStreamEngine holds its device lock)."""
+        from tone_tpu.core.model import unpack_state
+
+        row = unpack_state(np.asarray(blob, np.float16)[None], self.config)
+
+        def put(big, r, ax):
+            big0 = jnp.moveaxis(big, ax, 0)
+            r0 = jnp.moveaxis(jnp.asarray(r), ax, 0)[0]
+            return jnp.moveaxis(big0.at[slot].set(r0.astype(big0.dtype)), 0, ax)
+
+        self.state = jax.tree.map(put, self.state, row, self._axes)
 
     def warmup(self) -> None:
         """Compile the tick step before serving traffic (the reference

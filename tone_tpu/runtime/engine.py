@@ -187,9 +187,13 @@ class MultiStreamEngine:
         self._pending_bind: list[int] = []  # candidate sids, open order
         self._free_slots = list(range(n_slots))
         self._slot_reset = np.zeros(n_slots, bool)
+        # resumed slots keep their acoustic state (reset False) but must
+        # restart the interim device-beam arena
+        self._beam_force_reset = np.zeros(n_slots, bool)
         self._next_id = 0
         self._lock = threading.Lock()
         self._interim_lock = threading.Lock()  # guards _interim_results only
+        self._device_lock = threading.Lock()   # serializes arena state swaps
         self._decode_pool = ThreadPoolExecutor(max_workers=decode_workers,
                                                thread_name_prefix="ctc-decode")
         self._finished_since_poll: list[int] = []
@@ -317,6 +321,69 @@ class MultiStreamEngine:
                     "(greedy decodes a single hypothesis; use a beam decoder)")
             stream.nbest = 0 if n <= 1 else n
 
+    def suspend_stream(self, sid: int) -> dict:
+        """Serialize a live stream to a host-side snapshot and release its
+        slot — the suspend half of stream migration.  The snapshot (plain
+        numpy arrays + scalars) carries the acoustic slot state as the
+        reference-compatible flat fp16 blob plus the splitter carry;
+        ``resume_stream`` restores it on this engine or any other (another
+        process, host, or chip).  Timestamps continue where they left off
+        (the splitter's global frame offset travels with the snapshot).
+
+        The stream must be drained first (no queued chunks — tick until
+        its feed is consumed); in-progress INTERIM text restarts after
+        resume (finalized phrases are unaffected).
+
+        Raises UnknownStreamError for dead streams, RuntimeError for
+        undrained ones or slotless candidates (nothing on device yet).
+        """
+        with self._lock:
+            stream = self._streams.get(sid)
+            if stream is None:
+                raise UnknownStreamError(f"unknown stream {sid}")
+            if stream.pending:
+                raise RuntimeError(
+                    f"stream {sid} has {len(stream.pending)} queued chunks — "
+                    "tick until drained before suspending")
+            if stream.slot is None:
+                raise RuntimeError(
+                    f"stream {sid} is a waiting candidate with no device "
+                    "state; close and reopen it instead")
+            slot = stream.slot
+        with self._device_lock:
+            blob = self.arena.read_slot(slot)
+        with self._lock:
+            # re-check under the lock: a concurrent close/evict may have
+            # released (and possibly re-bound) the slot while we read
+            if self._streams.get(sid) is not stream or stream.slot != slot:
+                raise UnknownStreamError(f"stream {sid} ended mid-suspend")
+            snap = {"acoustic_state": blob,
+                    **self._splitter.snapshot(slot),
+                    "nbest": stream.nbest}
+            self._release_locked(sid)
+            return snap
+
+    def resume_stream(self, snapshot: dict) -> int:
+        """Restore a ``suspend_stream`` snapshot into a fresh slot; returns
+        the new stream id.  Raises RuntimeError when no slot is free
+        (resume needs a real slot — candidates hold no device state)."""
+        with self._lock:
+            if not self._free_slots:
+                self._evict_idle_locked(force_one=True)
+            if not self._free_slots:
+                raise RuntimeError("no free stream slots")
+            slot = self._free_slots.pop()
+            sid = self._next_id
+            self._next_id += 1
+            self._streams[sid] = _Stream(
+                slot=slot, nbest=int(snapshot.get("nbest", self.default_nbest)))
+            self._slot_reset[slot] = False  # the snapshot IS the state
+            self._beam_force_reset[slot] = True
+            self._splitter.restore(slot, snapshot)
+        with self._device_lock:
+            self.arena.write_slot(slot, snapshot["acoustic_state"])
+        return sid
+
     def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
         """Queue one chunk (any length <= chunk_samples; zero-padded).
 
@@ -379,6 +446,8 @@ class MultiStreamEngine:
             active = np.zeros(n, bool)
             reset = self._slot_reset
             self._slot_reset = np.zeros(n, bool)
+            beam_reset = reset | self._beam_force_reset
+            self._beam_force_reset = np.zeros(n, bool)
 
             ticking: list[tuple[int, _Stream, bool]] = []
             for sid, stream in self._streams.items():
@@ -393,15 +462,17 @@ class MultiStreamEngine:
                                          - self.stats.pending_streams)
 
         if not ticking:
-            if reset.any():
+            if reset.any() or beam_reset.any():
                 # Defer slot resets to the next real tick (a reset only
                 # matters before the slot's first active step).
                 with self._lock:
                     self._slot_reset |= reset
+                    self._beam_force_reset |= beam_reset & ~reset
             return {}
 
         t_dev0 = time.monotonic()
-        logprobs = self.arena.tick(chunks, active, reset)
+        with self._device_lock:  # vs. resume_stream's state write
+            logprobs = self.arena.tick(chunks, active, reset)
         t_device = time.monotonic() - t_dev0
 
         slot_ids = np.array([s.slot for _, s, _ in ticking], np.int64)
@@ -416,7 +487,7 @@ class MultiStreamEngine:
         device_texts = None
         if self.interim_device_beam:
             device_texts = self._tick_device_beams(
-                logprobs, ticking, by_slot, reset)
+                logprobs, ticking, by_slot, beam_reset)
 
         results: dict[int, list[Future]] = {}
         interims: dict[int, str] = {}

@@ -264,6 +264,31 @@ class BatchLogprobSplitter:
         self._offset[slot] = 0
         self._sil_run[slot] = 0
 
+    def snapshot(self, slot: int) -> dict:
+        """One slot's carry as host arrays/scalars — the splitter half of
+        stream suspend/migrate (MultiStreamEngine.suspend_stream)."""
+        buf = self._buf[slot]
+        return {
+            "splitter_logprobs": buf.lp[buf.head:buf.tail].copy(),
+            "splitter_speech": buf.sp[buf.head:buf.tail].copy(),
+            "splitter_carry_speech": bool(self._carry_speech[slot]),
+            "splitter_carry_len": int(self._carry_len[slot]),
+            "splitter_offset": int(self._offset[slot]),
+            "splitter_sil_run": int(self._sil_run[slot]),
+        }
+
+    def restore(self, slot: int, snap: dict) -> None:
+        """Restore a snapshot() into a (fresh) slot — possibly of a
+        different BatchLogprobSplitter on a different host."""
+        self.reset(slot)
+        lp = np.asarray(snap["splitter_logprobs"], np.float32)
+        if len(lp):
+            self._buf[slot].append(lp, np.asarray(snap["splitter_speech"], bool))
+        self._carry_speech[slot] = snap["splitter_carry_speech"]
+        self._carry_len[slot] = snap["splitter_carry_len"]
+        self._offset[slot] = snap["splitter_offset"]
+        self._sil_run[slot] = snap["splitter_sil_run"]
+
     def forward_batch(
         self,
         logprobs: "npt.NDArray[np.float32]",
