@@ -576,3 +576,55 @@ def test_short_hotword_commits_under_longer_phrase():
         state, d = hw.step(state, ch)
         total += d
     assert total == 2.0 * len("сан дата")
+
+
+def test_terminal_suffix_commits_when_longer_match_dies():
+    """A word-aligned suffix that is itself a complete hotword commits its
+    full value at a boundary where the longer match dies — with or without
+    a rematch continuation (the case the single-path automaton previously
+    dropped: ["аб в", "в"] on "аб в " gave "в" nothing)."""
+
+    def total(hw, text):
+        state, acc = (0, 0.0), 0.0
+        for ch in text:
+            state, d = hw.step(state, ch)
+            acc += d
+        return acc
+
+    # no-rematch boundary: "аб в" commits AND its suffix word "в" commits
+    hw = HotwordScorer(["аб в", "в"], weight=1.0)
+    assert total(hw, "аб в ") == 4.0 + 1.0
+    # top node not terminal: the dying prefix retracts, the completed
+    # suffix word still commits
+    hw2 = HotwordScorer(["аб вг", "в"], weight=1.0)
+    assert total(hw2, "аб в ") == 1.0
+    # rematch boundary: suffixes longer than the rematch target commit as
+    # a bonus ("б в"); the rematch ("в г") carries its own fresh value
+    hw3 = HotwordScorer(["а б в", "б в", "в г"], weight=1.0)
+    assert total(hw3, "а б в г ") == 5.0 + 3.0 + 3.0
+
+
+def test_suffix_commit_flips_decode_all_engines():
+    """Decode-level: the terminal-suffix commit decides an ambiguous word
+    in every search engine (host Python, native C++, device)."""
+    spec = [{c: 0.0} for c in "аб "]
+    spec += [{"в": -0.55, "з": -0.5}, {" ": 0.0}]
+    spec += [{c: 0.0} for c in "да"]
+    lp = _logprobs(spec, T=12)
+    assert ctc_beam_search(lp, LABELS, beam_width=16) == "аб з да"
+    hw = HotwordScorer(["аб вг", "в"], weight=3.0)
+    want = "аб в да"
+    assert ctc_beam_search(lp, LABELS, beam_width=16, hotwords=hw) == want
+
+    from tone_tpu.decoding.native.beamsearch import (
+        NativeHotwords, ctc_beam_search_native, native_available)
+    if native_available():
+        nat = ctc_beam_search_native(
+            lp.astype(np.float32), LABELS, beam_width=16,
+            hotwords=NativeHotwords(LABELS, ["аб вг", "в"], 3.0))
+        assert nat == want
+
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    dev = DeviceBeamSearchCTCDecoder(
+        beam_width=16, hotwords=["аб вг", "в"], hotword_weight=3.0)
+    assert dev.forward(lp.astype(np.float32)) == want

@@ -275,7 +275,7 @@ def test_engine_suspend_resume_migration(variables, cfg, audio):
     eng4 = MultiStreamEngine(variables, cfg, n_slots=1)
     s4 = eng4.open_stream()
     eng4.feed(s4, padded[:2400])
-    with pytest.raises(RuntimeError, match="queued chunks"):
+    with pytest.raises(RuntimeError, match="work in flight"):
         eng4.suspend_stream(s4)
     for e in (eng, eng2, eng3, eng4):
         e.shutdown()
@@ -556,3 +556,101 @@ def test_engine_pins_final_decode_buckets(variables, cfg):
     MultiStreamEngine(variables, cfg, n_slots=2, decoder=decoder,
                       final_decode_batch=16)
     assert decoder.batch_floor == decoder.max_batch == 16
+
+
+def test_engine_candidates_bind_before_newcomers(variables, cfg):
+    """A newly opened stream never jumps ahead of older waiting candidates
+    to a just-freed slot (Triton's oldest-first binding order), and slot
+    pressure queues newcomers instead of force-evicting a quiet live
+    stream while the candidate queue has room."""
+    engine = MultiStreamEngine(variables, cfg, n_slots=1, max_candidates=2)
+    engine.IDLE_EVICT_SECONDS = 3600
+    engine.FORCE_EVICT_GRACE_SECONDS = 0.0  # maximally steal-prone
+    bound = engine.open_stream()
+    waiting = engine.open_stream()          # candidate
+    # queue has room: the newcomer must NOT steal bound's slot
+    newcomer = engine.open_stream()
+    assert engine._streams[bound].slot is not None      # survived
+    assert engine._streams[newcomer].slot is None       # queued instead
+    assert engine.pop_evicted() == []
+    # a freed slot goes to the OLDEST candidate, not the next open_stream
+    engine.close(bound)
+    late = engine.open_stream()
+    assert engine._streams[waiting].slot is not None    # oldest bound
+    assert engine._streams[newcomer].slot is None       # still ahead of late
+    assert engine._streams[late].slot is None
+    # queue is full again: NOW pressure may steal (last resort) — the freed
+    # slot still goes to the oldest waiter, the newcomer queues
+    last = engine.open_stream()
+    assert engine.pop_evicted() == [waiting]            # quiet, grace 0
+    assert engine._streams[newcomer].slot is not None
+    assert engine._streams[last].slot is None
+    engine.shutdown()
+
+
+def test_engine_candidate_stats_have_no_ghosts(variables, cfg):
+    """Candidates that close while waiting leave the bind queue at once:
+    stats never count ghosts and active_streams never goes negative."""
+    engine = MultiStreamEngine(variables, cfg, n_slots=1, max_candidates=4)
+    engine.IDLE_EVICT_SECONDS = 3600
+    bound = engine.open_stream()
+    cands = [engine.open_stream() for _ in range(3)]
+    for c in cands:
+        engine.close(c)
+    engine.tick()
+    assert engine.stats.pending_streams == 0
+    assert engine.stats.active_streams == 1
+    engine.close(bound)
+    engine.shutdown()
+
+
+def test_engine_candidate_buffer_cap_and_idle_reap(variables, cfg):
+    """A slotless candidate's host-side chunk buffer is capped (backpressure
+    instead of unbounded growth), and an abandoned candidate with buffered
+    chunks is still idle-reaped (pending must not exempt it forever)."""
+    from tone_tpu.runtime.engine import UnknownStreamError
+
+    engine = MultiStreamEngine(variables, cfg, n_slots=1, max_candidates=1,
+                               candidate_buffer_chunks=3)
+    engine.IDLE_EVICT_SECONDS = 3600
+    bound = engine.open_stream()
+    engine.feed(bound, np.zeros(2400, np.int16))  # keep it un-stealable
+    cand = engine.open_stream()
+    for _ in range(3):
+        engine.feed(cand, np.zeros(2400, np.int16))
+    with pytest.raises(UnknownStreamError, match="buffer"):
+        engine.feed(cand, np.zeros(2400, np.int16))
+    assert cand in engine.pop_evicted()
+    assert cand not in engine._streams
+
+    # idle reaping covers buffered candidates too
+    cand2 = engine.open_stream()
+    engine.feed(cand2, np.zeros(2400, np.int16))
+    engine.IDLE_EVICT_SECONDS = 0.0
+    engine.tick()
+    assert cand2 not in engine._streams
+    engine.shutdown()
+
+
+def test_engine_suspend_carries_hotwords(variables, cfg):
+    """A suspended stream's per-request hotword biasing travels in the
+    snapshot: after resume (here on a different engine) its finals still
+    decode through a biased override."""
+    from tone_tpu.decoder import BeamSearchCTCDecoder
+
+    eng = MultiStreamEngine(variables, cfg, n_slots=1)
+    sid = eng.open_stream()
+    eng.set_stream_hotwords(sid, ["мир"], 5.0)
+    snap = eng.suspend_stream(sid)
+    assert snap["hotwords"] == (("мир",), 5.0)
+
+    eng2 = MultiStreamEngine(variables, cfg, n_slots=1)
+    sid2 = eng2.resume_stream(snap)
+    stream = eng2._streams[sid2]
+    assert stream.hotwords == (("мир",), 5.0)
+    assert isinstance(stream.decoder, BeamSearchCTCDecoder)
+    # and clearing still works on the resumed stream
+    eng2.set_stream_hotwords(sid2, None)
+    assert eng2._streams[sid2].decoder is None
+    eng.shutdown()
+    eng2.shutdown()

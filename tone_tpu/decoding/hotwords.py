@@ -28,6 +28,11 @@ Semantics (per emitted character, natural-log units):
   to the suffix's fresh value (its completed inner words committed, the
   in-progress tail tentative); with no viable suffix the tentative boost
   is retracted and the automaton parks until the next word boundary;
+* at a boundary where the longer match dies, every word-aligned suffix
+  that is itself a complete hotword ALSO commits its full value ("в"
+  inside "аб в " with hotwords {"аб в", "в"}) — suffixes longer than the
+  rematch target commit as a bonus; shorter ones are already inside the
+  rematch's fresh value;
 * an in-progress prefix keeps its tentative credit in interim/final
   ranking — biasing is active mid-word, which is what makes it effective
   for streaming partial transcripts.
@@ -102,7 +107,10 @@ class HotwordScorer:
         * ``_tent_at[n]`` — tentative boost outstanding at n on any path
           (weight × chars since the last committed boundary);
         * ``_full[n]`` — a fresh match's total value, weight × depth(n)
-          (committed inner words + tentative tail).
+          (committed inner words + tentative tail);
+        * ``_term_suf_lens[n]`` — lengths of the proper word-aligned
+          suffixes of path(n) that are complete hotwords: each commits its
+          full value at a boundary where the longer match dies.
         """
         w = self.weight
         node_of = {p: i for i, p in enumerate(self._path)}
@@ -110,12 +118,17 @@ class HotwordScorer:
         self._fail: list[int | None] = [None] * n_nodes
         self._tent_at = [0.0] * n_nodes
         self._full = [0.0] * n_nodes
+        self._term_suf_lens: list[tuple[int, ...]] = [()] * n_nodes
         for n, s in enumerate(self._path):
             self._full[n] = w * len(s)
+            suf_lens = []
             for k in range(1, len(s)):  # ascending k = longest suffix first
                 if s[k - 1] == " " and s[k:] in node_of:
-                    self._fail[n] = node_of[s[k:]]
-                    break
+                    if self._fail[n] is None:
+                        self._fail[n] = node_of[s[k:]]
+                    if self._terminal[node_of[s[k:]]]:
+                        suf_lens.append(len(s) - k)
+            self._term_suf_lens[n] = tuple(suf_lens)
             last_commit = 0
             for j in range(len(s) - 1, 0, -1):  # deepest committed boundary
                 if s[j] == " " and self._terminal[node_of[s[:j]]]:
@@ -158,9 +171,20 @@ class HotwordScorer:
             # Fell off this match: re-enter at the longest word-aligned
             # suffix still on a hotword path.  A commit keeps its accrued
             # boost; otherwise the old tentative is retracted against the
-            # suffix's fresh value.
-            delta = self._full[rematch] - (0.0 if commit else tentative)
+            # suffix's fresh value.  At a word boundary, terminal suffixes
+            # longer than the rematch target also complete here — commit
+            # them (shorter ones are inside the fresh value already).
+            bonus = 0.0
+            if char == " ":
+                keep = len(self._path[rematch]) - 1
+                bonus = w * sum(n for n in self._term_suf_lens[node]
+                                if n > keep)
+            delta = self._full[rematch] + bonus - (0.0 if commit else tentative)
             return (rematch, self._tent_at[rematch]), delta
         if char == " ":
-            return START, 0.0 if commit else -tentative
+            # The match dies at this boundary with no rematch: every
+            # word-aligned suffix that is a complete hotword still
+            # finished as words here — commit each one's full value.
+            bonus = w * sum(self._term_suf_lens[node])
+            return START, bonus + (0.0 if commit else -tentative)
         return (-1, 0.0), -tentative

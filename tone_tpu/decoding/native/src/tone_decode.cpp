@@ -482,6 +482,11 @@ struct Hotwords {
   std::vector<std::unordered_map<int32_t, int32_t>> goto_;
   std::vector<double> tent_at;
   std::vector<double> full;
+  // depth (chars) per node, and per node the lengths of its proper
+  // word-aligned suffixes that are complete hotwords — each commits its
+  // full value at a word boundary where the longer match dies.
+  std::vector<int32_t> depth_;
+  std::vector<std::vector<int32_t>> term_suf_lens;
 
   // phrases_joined: '\n'-separated UTF-8 phrases. Every code point must be a
   // label (single-code-point labels, as parse_labels produces).
@@ -539,15 +544,19 @@ struct Hotwords {
     std::vector<int32_t> fail(n, -1);
     tent_at.assign(n, 0.0);
     full.assign(n, 0.0);
+    depth_.assign(n, 0);
+    term_suf_lens.assign(n, {});
     for (size_t i = 0; i < n; ++i) {
       const auto& s = paths[i];
       full[i] = weight * (double)s.size();
+      depth_[i] = (int32_t)s.size();
       for (size_t k = 1; k < s.size(); ++k) {  // ascending k = longest first
         if (s[k - 1] != space_id) continue;
         auto it = node_of.find({s.begin() + k, s.end()});
         if (it != node_of.end()) {
-          fail[i] = it->second;
-          break;
+          if (fail[i] < 0) fail[i] = it->second;
+          if (terminal[it->second])
+            term_suf_lens[i].push_back((int32_t)(s.size() - k));
         }
       }
       size_t last_commit = 0;
@@ -604,13 +613,25 @@ struct Hotwords {
       // Fell off this match: re-enter at the longest word-aligned suffix
       // still on a hotword path.  A commit keeps its accrued boost;
       // otherwise the old tentative retracts against the fresh value.
-      double d = full[gt->second] - (commit ? 0.0 : tent);
+      // At a boundary, terminal suffixes longer than the rematch target
+      // also complete here — commit them (shorter ones are inside the
+      // fresh value already).
+      double bonus = 0.0;
+      if (label == space_id) {
+        int32_t keep = depth_[gt->second] - 1;
+        for (int32_t L : term_suf_lens[node])
+          if (L > keep) bonus += weight * (double)L;
+      }
+      double d = full[gt->second] + bonus - (commit ? 0.0 : tent);
       node = gt->second;
       tent = tent_at[node];
       return d;
     }
     double d = commit ? 0.0 : -tent;
     if (label == space_id) {
+      // The match dies at this boundary with no rematch: word-aligned
+      // suffixes that are complete hotwords still finished as words here.
+      for (int32_t L : term_suf_lens[node]) d += weight * (double)L;
       node = 0;  // rearm for the next word
       tent = 0.0;
       return d;

@@ -52,7 +52,10 @@ class _Stream:
     beam_reset: bool = False
     beam_gen: int = 0               # bumped at boundaries; stale results drop
     decoder: object = None          # per-stream override (request hotwords)
+    hotwords: tuple | None = None   # (words, weight) behind the override —
+    # plain data so suspend/resume can carry the biasing across engines
     nbest: int = 0                  # >1: finals carry n-best alternatives
+    ticks: int = 0                  # completed ticks (suspend's torn-read guard)
 
 
 @dataclass
@@ -94,7 +97,8 @@ class MultiStreamEngine:
                  final_decode_batch: int = 64,
                  word_timestamps: bool = False,
                  nbest: int = 0,
-                 max_candidates: int = 0) -> None:
+                 max_candidates: int = 0,
+                 candidate_buffer_chunks: int = 200) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -144,7 +148,16 @@ class MultiStreamEngine:
         chunks buffer host-side, the oldest candidate binds whenever a slot
         frees (Triton's ``sequence_batching{oldest{max_candidate_sequences:
         4096}}``, triton/model/config.pbtxt:30-37).  0 (default) keeps the
-        reject-at-capacity behavior."""
+        reject-at-capacity behavior.  While the queue has room, slot
+        pressure never force-evicts a quiet live stream (newcomers wait
+        instead — Triton's semantics); force-eviction remains the last
+        resort once the queue is full too.
+
+        ``candidate_buffer_chunks``: per-CANDIDATE cap on host-buffered
+        chunks (~300 ms each; 200 ≈ one minute of audio).  A candidate that
+        feeds past it is dropped (UnknownStreamError + eviction notice) —
+        without the cap, thousands of realtime candidates during sustained
+        slot contention would grow host memory without bound."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
@@ -184,7 +197,9 @@ class MultiStreamEngine:
         self._splitter = BatchLogprobSplitter(n_slots)
         self._streams: dict[int, _Stream] = {}
         self.max_candidates = max(0, int(max_candidates))
+        self.candidate_buffer_chunks = max(1, int(candidate_buffer_chunks))
         self._pending_bind: list[int] = []  # candidate sids, open order
+        self._inflight: set[int] = set()    # sids mid-tick (popped, not done)
         self._free_slots = list(range(n_slots))
         self._slot_reset = np.zeros(n_slots, bool)
         # resumed slots keep their acoustic state (reset False) but must
@@ -212,26 +227,32 @@ class MultiStreamEngine:
         Raises RuntimeError when candidates are exhausted too.
         """
         with self._lock:
+            # Older waiting candidates bind first: a newcomer never jumps
+            # the queue to a just-freed slot (Triton's oldest-first order).
+            self._bind_candidates_locked()
             if not self._free_slots:
-                self._evict_idle_locked(force_one=True)
-            if not self._free_slots:
-                # drop candidates that closed while waiting before counting
-                self._pending_bind = [s for s in self._pending_bind
-                                      if s in self._streams]
-                if len(self._pending_bind) >= self.max_candidates:
-                    raise RuntimeError("no free stream slots")
+                # Reap idle streams (the 15 s Triton reaper).  Force-steal a
+                # quiet slot only when the newcomer cannot queue: with room
+                # in the candidate queue it waits instead of costing a live
+                # stream its slot.
+                queue_has_room = len(self._pending_bind) < self.max_candidates
+                self._evict_idle_locked(force_one=not queue_has_room)
+                self._bind_candidates_locked()
+            if self._free_slots:  # implies no candidates left waiting
+                slot = self._free_slots.pop()
                 sid = self._next_id
                 self._next_id += 1
-                self._streams[sid] = _Stream(slot=None,
+                self._streams[sid] = _Stream(slot=slot,
                                              nbest=self.default_nbest)
-                self._pending_bind.append(sid)
+                self._slot_reset[slot] = True
+                self._splitter.reset(slot)
                 return sid
-            slot = self._free_slots.pop()
+            if len(self._pending_bind) >= self.max_candidates:
+                raise RuntimeError("no free stream slots")
             sid = self._next_id
             self._next_id += 1
-            self._streams[sid] = _Stream(slot=slot, nbest=self.default_nbest)
-            self._slot_reset[slot] = True
-            self._splitter.reset(slot)
+            self._streams[sid] = _Stream(slot=None, nbest=self.default_nbest)
+            self._pending_bind.append(sid)
             return sid
 
     def _bind_candidates_locked(self) -> None:
@@ -262,6 +283,7 @@ class MultiStreamEngine:
         (back to the engine-wide decoder).
         """
         override = None
+        warm_device_override = False
         if hotwords:
             from tone_tpu.decoder import (BeamSearchCTCDecoder,
                                           DeviceBeamSearchCTCDecoder)
@@ -274,6 +296,18 @@ class MultiStreamEngine:
                     beam_width=base.beam_width, nbest=base.nbest_hyps,
                     max_len=base.max_len, fusion=base.fusion,
                     hotwords=hotwords, hotword_weight=hotword_weight)
+                # Keep the engine's serving batch buckets so the override's
+                # decode shapes stay in the warmed family (they default to
+                # batch 1, a shape no warmup ever compiled)...
+                override.batch_floor = base.batch_floor
+                override.max_batch = base.max_batch
+                # ...and front-load the remaining compiles (new hotword-table
+                # shapes mean new programs; with fusion that can be minutes)
+                # on the decode pool NOW, overlapping the stream's early
+                # audio, instead of stalling its first final phrase.  The
+                # persistent compile cache (export.enable_compilation_cache)
+                # makes repeat node-count buckets free across requests.
+                warm_device_override = True
             else:
                 lm = getattr(base, "_lm", None)
                 host_lm = lm if isinstance(lm, LanguageModel) else None
@@ -289,12 +323,16 @@ class MultiStreamEngine:
             if stream is None:
                 raise UnknownStreamError(f"unknown stream {sid}")
             stream.decoder = override  # None clears an earlier override
+            stream.hotwords = ((tuple(hotwords), float(hotword_weight))
+                               if hotwords else None)
             # carried interim search rebuilds (biased or not); bump the
             # generation so an in-flight task's stale result is dropped
             stream.beam = None
             stream.beam_gen += 1
             stream.beam_reset = True
             stream.beam_frames.clear()
+        if warm_device_override:
+            self._decode_pool.submit(self._warm_override, sid, override)
 
     MAX_NBEST = 32
 
@@ -341,25 +379,39 @@ class MultiStreamEngine:
             stream = self._streams.get(sid)
             if stream is None:
                 raise UnknownStreamError(f"unknown stream {sid}")
-            if stream.pending:
+            if stream.pending or sid in self._inflight:
+                # 'pending empties at pop time, not completion time': a tick
+                # that already popped the last chunk is still mutating the
+                # slot's device state and splitter carry — treat it as
+                # undrained until the tick finishes.
                 raise RuntimeError(
-                    f"stream {sid} has {len(stream.pending)} queued chunks — "
+                    f"stream {sid} has work in flight — "
                     "tick until drained before suspending")
             if stream.slot is None:
                 raise RuntimeError(
                     f"stream {sid} is a waiting candidate with no device "
                     "state; close and reopen it instead")
             slot = stream.slot
+            epoch = stream.ticks
         with self._device_lock:
             blob = self.arena.read_slot(slot)
         with self._lock:
-            # re-check under the lock: a concurrent close/evict may have
-            # released (and possibly re-bound) the slot while we read
-            if self._streams.get(sid) is not stream or stream.slot != slot:
+            # Re-check under the lock: a concurrent close/evict may have
+            # released (and possibly re-bound) the slot, and a concurrent
+            # feed+tick may have advanced the stream, while we read — either
+            # would make the acoustic blob and the splitter carry snapshots
+            # of different points in time.
+            if self._streams.get(sid) is not stream:
                 raise UnknownStreamError(f"stream {sid} ended mid-suspend")
+            if (stream.slot != slot or stream.pending
+                    or sid in self._inflight or stream.ticks != epoch):
+                raise RuntimeError(
+                    f"stream {sid} advanced mid-suspend — quiesce its feed "
+                    "and retry")
             snap = {"acoustic_state": blob,
                     **self._splitter.snapshot(slot),
-                    "nbest": stream.nbest}
+                    "nbest": stream.nbest,
+                    "hotwords": stream.hotwords}
             self._release_locked(sid)
             return snap
 
@@ -382,6 +434,12 @@ class MultiStreamEngine:
             self._splitter.restore(slot, snapshot)
         with self._device_lock:
             self.arena.write_slot(slot, snapshot["acoustic_state"])
+        hw = snapshot.get("hotwords")
+        if hw:
+            # The stream's contextual biasing travels with it: rebuild the
+            # per-request decoder override on this engine (it may use a
+            # different LM/decoder family than the suspending one).
+            self.set_stream_hotwords(sid, list(hw[0]), hw[1])
         return sid
 
     def feed(self, sid: int, chunk: np.ndarray, is_last: bool = False) -> None:
@@ -402,6 +460,17 @@ class MultiStreamEngine:
                 raise UnknownStreamError(
                     f"stream {sid} is not active (finished, closed, or "
                     f"evicted after {self.IDLE_EVICT_SECONDS:.0f}s idle)")
+            if (stream.slot is None
+                    and len(stream.pending) >= self.candidate_buffer_chunks):
+                # Backpressure: a slotless candidate buffers host-side with
+                # no drain until a slot frees — cap it rather than let slot
+                # contention grow host memory without bound.
+                self._release_locked(sid)
+                self._evicted_since_poll.append(sid)
+                raise UnknownStreamError(
+                    f"candidate stream {sid} exceeded its "
+                    f"{self.candidate_buffer_chunks}-chunk buffer while "
+                    "waiting for a slot")
             stream.pending.append((chunk, is_last))
             stream.last_activity = time.monotonic()
 
@@ -444,30 +513,33 @@ class MultiStreamEngine:
             n = self.arena.n_slots
             chunks = np.zeros((n, self.config.audio_chunk_samples), np.int16)
             active = np.zeros(n, bool)
-            reset = self._slot_reset
-            self._slot_reset = np.zeros(n, bool)
-            beam_reset = reset | self._beam_force_reset
-            self._beam_force_reset = np.zeros(n, bool)
+            reset = np.zeros(n, bool)
+            beam_reset = np.zeros(n, bool)
 
             ticking: list[tuple[int, _Stream, bool]] = []
             for sid, stream in self._streams.items():
                 if not stream.pending or stream.slot is None:
                     continue  # nothing queued, or a candidate awaiting a slot
                 chunk, is_last = stream.pending.pop(0)
-                chunks[stream.slot] = chunk
-                active[stream.slot] = True
+                slot = stream.slot
+                chunks[slot] = chunk
+                active[slot] = True
+                # Consume a slot's reset flags only once it actually ticks:
+                # capturing the whole array up front would let this tick's
+                # device step zero a slot that resume_stream re-bound (and
+                # restored state into) while the step was in flight.
+                reset[slot] = self._slot_reset[slot]
+                beam_reset[slot] = (reset[slot]
+                                    or self._beam_force_reset[slot])
+                self._slot_reset[slot] = False
+                self._beam_force_reset[slot] = False
                 ticking.append((sid, stream, is_last))
+                self._inflight.add(sid)
             self.stats.pending_streams = len(self._pending_bind)
             self.stats.active_streams = (len(self._streams)
                                          - self.stats.pending_streams)
 
         if not ticking:
-            if reset.any() or beam_reset.any():
-                # Defer slot resets to the next real tick (a reset only
-                # matters before the slot's first active step).
-                with self._lock:
-                    self._slot_reset |= reset
-                    self._beam_force_reset |= beam_reset & ~reset
             return {}
 
         t_dev0 = time.monotonic()
@@ -496,6 +568,7 @@ class MultiStreamEngine:
         blank = len(self._labels)
         with self._lock:
             for k, (sid, stream, is_last) in enumerate(ticking):
+                stream.ticks += 1
                 phrases = by_slot.get(stream.slot)
                 if phrases and self.device_finals and stream.decoder is None \
                         and not stream.nbest:
@@ -556,6 +629,9 @@ class MultiStreamEngine:
             for sid in finished:
                 self._release_locked(sid)
             self._finished_since_poll.extend(finished)
+            # This tick's device step AND splitter updates are complete —
+            # suspend_stream may now trust a drained stream's state again.
+            self._inflight.difference_update(s for s, _, _ in ticking)
 
         if batch_finals:
             # One device call decodes every phrase completed this tick; the
@@ -603,18 +679,7 @@ class MultiStreamEngine:
             # Minutes-long for the fused-LM scan: enable the persistent
             # compile cache (tone_tpu.export.enable_compilation_cache) so
             # deployments pay it once ever.
-            from tone_tpu.splitter import StreamingLogprobSplitter as _S
-
-            max_frames = _S.MAX_PHRASE_DURATION + 2 * _S.SPEECH_EXPAND_SIZE
-            v = len(self._labels) + 1
-            t = 64
-            while True:
-                frames = min(t, max_frames)
-                self.decoder.forward_batch(
-                    [np.full((frames, v), -3.5, np.float32)])
-                if t >= max_frames:
-                    break
-                t <<= 1
+            self._warm_decode_buckets(self.decoder)
         if self.interim_device_beam:
             init, reset, advance, top = self._interim_beam_ops()
 
@@ -631,6 +696,38 @@ class MultiStreamEngine:
                 np.zeros(n, np.int32))
             np.asarray(top(state)[0])
             self._device_beams = state
+
+    def _warm_decode_buckets(self, decoder, live=None) -> None:
+        """Compile a decoder's full (batch-bucket, frame-bucket) program
+        ladder — the splitter force-splits phrases, so the frame-bucket set
+        is closed.  ``live``: optional early-out predicate (override warms
+        stop when their stream is gone)."""
+        from tone_tpu.splitter import StreamingLogprobSplitter as _S
+
+        max_frames = _S.MAX_PHRASE_DURATION + 2 * _S.SPEECH_EXPAND_SIZE
+        v = len(self._labels) + 1
+        t = 64
+        while True:
+            if live is not None and not live():
+                return
+            frames = min(t, max_frames)
+            decoder.forward_batch([np.full((frames, v), -3.5, np.float32)])
+            if t >= max_frames:
+                break
+            t <<= 1
+
+    def _warm_override(self, sid: int, override) -> None:
+        """Pool task: pre-compile a per-request device decoder's programs
+        so the stream's first final phrase doesn't pay them inline."""
+        def live() -> bool:
+            with self._lock:
+                stream = self._streams.get(sid)
+                return stream is not None and stream.decoder is override
+
+        try:
+            self._warm_decode_buckets(override, live=live)
+        except Exception:  # noqa: BLE001 — warm is best-effort; real decodes
+            pass           # surface their own errors through phrase futures
 
     def _interim_beam_ops(self):
         """(init, reset, advance, top_tokens) for the interim device arena —
@@ -808,8 +905,17 @@ class MultiStreamEngine:
 
     def _release_locked(self, sid: int) -> None:
         stream = self._streams.pop(sid, None)
-        if stream is not None and stream.slot is not None:
+        if stream is None:
+            return
+        if stream.slot is not None:
             self._free_slots.append(stream.slot)
+        else:
+            # a candidate: leave no ghost in the bind queue (stats and
+            # queue-capacity checks count it otherwise)
+            try:
+                self._pending_bind.remove(sid)
+            except ValueError:
+                pass
 
     def close(self, sid: int) -> None:
         """Drop a stream immediately (disconnect without flush)."""
@@ -820,8 +926,12 @@ class MultiStreamEngine:
 
     def _evict_idle_locked(self, force_one: bool = False) -> None:
         now = time.monotonic()
+        # Candidates are reaped on inactivity even with chunks buffered:
+        # they can never drain without a slot, so 'pending' must not exempt
+        # an abandoned one forever.
         idle = [sid for sid, s in self._streams.items()
-                if not s.pending and now - s.last_activity > self.IDLE_EVICT_SECONDS]
+                if (not s.pending or s.slot is None)
+                and now - s.last_activity > self.IDLE_EVICT_SECONDS]
         if force_one and not idle:
             # Under slot pressure, reclaim the least-recently-active stream —
             # but only if it has nothing queued and has been quiet for the
