@@ -11,6 +11,11 @@ otherwise).  Run:
 
 Readback of the word tuples forces a real device sync, so naive wall-clock
 is sound here (unlike raw step timing on the tunneled chip — see AGENTS.md).
+On the tunneled dev chip the end-to-end number is dominated by the
+host↔device round trip (~250 ms RTT per call), not by the DP: pass
+``--kernel`` to also time the jitted Viterbi alone with staged device
+inputs and two-point-slope chaining (the bench.py method) — that is the
+number a locally-attached chip's end-to-end cost converges to.
 """
 
 from __future__ import annotations
@@ -63,6 +68,9 @@ def main() -> None:
                     help="frames per phrase (200 = 6 s of audio)")
     ap.add_argument("--words", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--kernel", action="store_true",
+                    help="also time the jitted Viterbi DP alone "
+                         "(staged device inputs, two-point slope)")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +92,38 @@ def main() -> None:
     host_out = [align_words(lp, tx) for lp, tx in zip(lps, texts)]
     dt_host = time.perf_counter() - t0
 
+    kernel = {}
+    if args.kernel:
+        import jax.numpy as jnp
+
+        from tone_tpu.ops.align_device import (_bucket, _extended_labels,
+                                               _stage_bucket, _viterbi_path)
+
+        exts = [_extended_labels(tx) for tx in texts]
+        t_pad = _bucket(max(lp.shape[0] for lp in lps))
+        s_pad = _bucket(max(e.size for e in exts))
+        staged = _stage_bucket(lps, exts, list(range(len(lps))), t_pad, s_pad)
+        lp_d, ext_d, skip_d, sl_d, tl_d = map(jnp.asarray, staged)
+
+        def chain(n):
+            t0 = time.perf_counter()
+            path = None
+            for _ in range(n):
+                path, _score = _viterbi_path(lp_d, ext_d, skip_d, sl_d, tl_d)
+            float(path.sum())  # forced sync
+            return time.perf_counter() - t0
+
+        chain(3)
+        n1, n2 = 5, 25
+        t1 = min(chain(n1) for _ in range(2))
+        t2 = min(chain(n2) for _ in range(2))
+        dt_k = max((t2 - t1) / (n2 - n1), 1e-9)
+        kernel = {
+            "kernel_ms_per_batch": round(dt_k * 1e3, 2),
+            "kernel_phrases_per_s": round(args.batch / dt_k, 1),
+            "kernel_audio_rtfx": round(audio_s / dt_k, 1),
+        }
+
     assert [[w[:3] for w in p] for p in device_out] == \
            [[w[:3] for w in p] for p in host_out], "device/host mismatch"
 
@@ -97,6 +137,7 @@ def main() -> None:
         "device_audio_rtfx": round(audio_s / dt_dev, 1),
         "host_ms_per_phrase": round(dt_host / args.batch * 1e3, 3),
         "host_audio_rtfx": round(audio_s / dt_host, 1),
+        **kernel,
     }))
 
 

@@ -95,6 +95,37 @@ def _bucket(n: int, lo: int = 32) -> int:
     return v
 
 
+def _extended_labels(text: str, blank_id: int = BLANK_ID) -> np.ndarray | None:
+    """Blank-extended label ids for a transcript (None for empty text)."""
+    words = text.split()
+    if not words:
+        return None
+    ids = np.array([LABELS.index(c) for c in " ".join(words)], np.int32)
+    ext = np.full(2 * len(ids) + 1, blank_id, np.int32)
+    ext[1::2] = ids
+    return ext
+
+
+def _stage_bucket(logprobs_list, exts, idxs, t_pad: int, s_pad: int):
+    """Padded numpy inputs of one (T, S) bucket for :func:`_viterbi_path`."""
+    nb = len(idxs)
+    v = logprobs_list[idxs[0]].shape[1]
+    lp = np.full((nb, t_pad, v), 0.0, np.float32)
+    ext = np.zeros((nb, s_pad), np.int32)
+    can_skip = np.zeros((nb, s_pad), bool)
+    s_len = np.zeros(nb, np.int32)
+    t_len = np.zeros(nb, np.int32)
+    for row, i in enumerate(idxs):
+        phr = np.asarray(logprobs_list[i], np.float32)
+        lp[row, :phr.shape[0]] = phr
+        e = exts[i]
+        ext[row, :e.size] = e
+        can_skip[row, 3:e.size:2] = e[3::2] != e[1:-2:2]
+        s_len[row] = e.size
+        t_len[row] = phr.shape[0]
+    return lp, ext, can_skip, s_len, t_len
+
+
 def align_words_batch(logprobs_list, texts,
                       blank_id: int = BLANK_ID) -> list[list[tuple[str, int, int, float]]]:
     """Device-batched :func:`tone_tpu.align.align_words` over many phrases.
@@ -108,37 +139,22 @@ def align_words_batch(logprobs_list, texts,
     groups: dict[tuple[int, int], list[int]] = {}
     exts: list[np.ndarray | None] = [None] * len(texts)
     for i, (lp, text) in enumerate(zip(logprobs_list, texts)):
-        words = text.split()
-        if not words:
+        ext = _extended_labels(text, blank_id)
+        if ext is None:
             continue
-        ids = np.array([LABELS.index(c) for c in " ".join(words)], np.int32)
         # host-parity feasibility check (viterbi_align raises the same)
+        ids = ext[1::2]
         needed = len(ids) + int(np.sum(ids[1:] == ids[:-1]))
         if lp.shape[0] < needed:
             raise ValueError(
                 f"{len(ids)} labels cannot align to {lp.shape[0]} frames")
-        ext = np.full(2 * len(ids) + 1, blank_id, np.int32)
-        ext[1::2] = ids
         exts[i] = ext
         key = (_bucket(lp.shape[0]), _bucket(ext.size))
         groups.setdefault(key, []).append(i)
 
     for (t_pad, s_pad), idxs in groups.items():
-        nb = len(idxs)
-        v = logprobs_list[idxs[0]].shape[1]
-        lp = np.full((nb, t_pad, v), 0.0, np.float32)
-        ext = np.zeros((nb, s_pad), np.int32)
-        can_skip = np.zeros((nb, s_pad), bool)
-        s_len = np.zeros(nb, np.int32)
-        t_len = np.zeros(nb, np.int32)
-        for row, i in enumerate(idxs):
-            phr = np.asarray(logprobs_list[i], np.float32)
-            lp[row, :phr.shape[0]] = phr
-            e = exts[i]
-            ext[row, :e.size] = e
-            can_skip[row, 3:e.size:2] = e[3::2] != e[1:-2:2]
-            s_len[row] = e.size
-            t_len[row] = phr.shape[0]
+        lp, ext, can_skip, s_len, t_len = _stage_bucket(
+            logprobs_list, exts, idxs, t_pad, s_pad)
 
         path, _ = _viterbi_path(jnp.asarray(lp), jnp.asarray(ext),
                                 jnp.asarray(can_skip), jnp.asarray(s_len),
