@@ -187,3 +187,46 @@ def test_full_config_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8, full=True)
+
+
+@pytest.mark.slow
+def test_engine_finals_identical_on_sharded_mesh(tiny_variables):
+    """Multi-chip serving end to end at the ENGINE level (not just the raw
+    arena): a MultiStreamEngine whose slot arena is sharded over all 8
+    virtual devices must produce exactly the finals of an unsharded engine
+    for the same streams — and its state must really live on the mesh.
+    This is what `tone_tpu serve --data-parallel` constructs."""
+    from tone_tpu.core.model import init_streaming_state
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    cfg, variables = tiny_variables
+    n_slots = 8
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharding = stream_state_shardings(mesh, init_streaming_state(cfg, n_slots))
+
+    rng = np.random.default_rng(7)
+    clips = [rng.integers(-20000, 20000, 2400 * 3).astype(np.int32)
+             for _ in range(3)]
+
+    def run(engine):
+        sids = [engine.open_stream() for _ in clips]
+        for sid, clip in zip(sids, clips):
+            for i in range(len(clip) // 2400):
+                engine.feed(sid, clip[i * 2400:(i + 1) * 2400])
+            engine.close_stream(sid)
+        finals = {sid: [] for sid in sids}
+        for _ in range(len(clips[0]) // 2400 + 2):
+            for sid, futures in engine.tick().items():
+                finals[sid].extend(
+                    (p.text, p.start_time, p.end_time)
+                    for p in (f.result() for f in futures))
+        return [finals[sid] for sid in sids]
+
+    sharded = MultiStreamEngine(variables, cfg, n_slots=n_slots,
+                                sharding=sharding)
+    plain = MultiStreamEngine(variables, cfg, n_slots=n_slots)
+    got = run(sharded)
+    want = run(plain)
+    assert got == want
+    leaf = jax.tree_util.tree_leaves(sharded.arena.state)[0]
+    assert len(leaf.sharding.device_set) == 8

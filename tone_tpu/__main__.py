@@ -129,6 +129,9 @@ def main() -> None:
                             "confidences (CTC forced alignment)")
     p_srv.add_argument("--force-evict-grace", type=float, default=None,
                        help="min quiet seconds before slot steal under pressure")
+    p_srv.add_argument("--data-parallel", action="store_true",
+                       help="shard the stream-slot arena over all devices "
+                            "of a ('data',) mesh (multi-chip serving)")
     _add_model_args(p_srv)
 
     p_ev = sub.add_parser("eval", help="corpus WER over a JSONL manifest")
@@ -246,9 +249,17 @@ def main() -> None:
         from tone_tpu.runtime.server import serve
 
         pipeline = _build_pipeline(args)
+        sharding = None
+        if args.data_parallel:
+            from tone_tpu.core.model import init_streaming_state
+            from tone_tpu.parallel.mesh import make_mesh, stream_state_shardings
+
+            mesh = make_mesh(n_model=1)
+            sharding = stream_state_shardings(
+                mesh, init_streaming_state(pipeline.model.config, args.slots))
         engine = MultiStreamEngine(
             pipeline.model.variables, pipeline.model.config,
-            n_slots=args.slots, decoder=pipeline.decoder,
+            n_slots=args.slots, decoder=pipeline.decoder, sharding=sharding,
             interim_transcripts=args.interim,
             interim_beam=args.interim_beam,
             interim_device_beam=args.interim_device_beam,
