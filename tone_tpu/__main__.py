@@ -40,6 +40,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="with --decoder beam: comma-separated words/phrases "
                         "(or @file, one per line) to bias the search toward")
     p.add_argument("--hotword-weight", type=float, default=10.0)
+    p.add_argument("--beam-width", type=int, default=None,
+                   help="beam width override (default: 200 host / 32 device)")
     p.add_argument("--chunk-ms", type=int, default=300)
 
 
@@ -70,6 +72,7 @@ def _build_pipeline(args):
     try:
         decoder = build_decoder(args.decoder, lm=args.lm,
                                 fused_lm=args.fused_lm,
+                                beam_width=args.beam_width,
                                 hotwords=parse_hotwords(
                                     getattr(args, "hotwords", None)),
                                 hotword_weight=args.hotword_weight)
@@ -132,6 +135,18 @@ def main() -> None:
     p_srv.add_argument("--data-parallel", action="store_true",
                        help="shard the stream-slot arena over all devices "
                             "of a ('data',) mesh (multi-chip serving)")
+    p_srv.add_argument("--nbest", type=int, default=0,
+                       help="transcript events carry up to N scored "
+                            "alternatives for every stream (needs a beam "
+                            "decoder; per-phrase decodes — a throughput cost "
+                            "at arena scale.  Clients can instead opt in per "
+                            "stream with a JSON config frame {'nbest': N})")
+    p_srv.add_argument("--max-candidates", type=int, default=4096,
+                       help="streams accepted beyond --slots: they queue as "
+                            "candidates (chunks buffer host-side) and bind "
+                            "oldest-first as slots free — Triton's "
+                            "max_candidate_sequences semantics (default 4096, "
+                            "its config value); 0 rejects at capacity")
     _add_model_args(p_srv)
 
     p_ev = sub.add_parser("eval", help="corpus WER over a JSONL manifest")
@@ -244,9 +259,12 @@ def main() -> None:
 
     if args.command == "serve":
         import asyncio
+        import logging
 
         from tone_tpu.runtime.engine import MultiStreamEngine
         from tone_tpu.runtime.server import serve
+
+        logging.basicConfig(level=logging.INFO)
 
         pipeline = _build_pipeline(args)
         sharding = None
@@ -267,7 +285,9 @@ def main() -> None:
             interim_beam_max_len=args.interim_beam_max_len,
             idle_evict_seconds=args.idle_evict_seconds,
             force_evict_grace=args.force_evict_grace,
-            word_timestamps=args.word_times)
+            word_timestamps=args.word_times,
+            nbest=args.nbest,
+            max_candidates=args.max_candidates)
         asyncio.run(serve(engine, args.host, args.port,
                           metrics_port=args.metrics_port))
         return

@@ -14,12 +14,11 @@ Unlike the reference demo (one synchronous pipeline, one request at a time),
 every connection maps to a slot in the shared device arena and all live
 connections advance together in one batched TPU step per 300 ms tick.
 
-Run:  python -m tone_tpu.runtime.server --checkpoint DIR [--port 8080]
+Run:  python -m tone_tpu serve --checkpoint DIR [--port 8080]\n(``python -m tone_tpu.runtime.server`` is an alias of the same CLI)
 """
 
 from __future__ import annotations
 
-import argparse
 import asyncio
 import json
 import logging
@@ -27,7 +26,6 @@ from pathlib import Path
 
 import numpy as np
 
-from tone_tpu.config import ToneConfig
 from tone_tpu.runtime.engine import MultiStreamEngine, UnknownStreamError
 
 logger = logging.getLogger("tone_tpu.server")
@@ -286,112 +284,19 @@ async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 80
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser(description="tone_tpu streaming ASR server")
-    parser.add_argument("--checkpoint", type=Path, default=None,
-                        help="tone_tpu checkpoint dir (default: random weights)")
-    parser.add_argument("--slots", type=int, default=256)
-    parser.add_argument("--port", type=int, default=8080)
-    parser.add_argument("--metrics-port", type=int, default=8002)
-    parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--decoder", choices=["greedy", "beam", "device-beam"],
-                        default="greedy",
-                        help="final-phrase decoder: greedy, host beam search "
-                             "(C++ pool), or the batched on-TPU beam search "
-                             "(one device call per tick for all completed "
-                             "phrases)")
-    parser.add_argument("--beam-width", type=int, default=None,
-                        help="beam width override (default: 200 host / 32 device)")
-    parser.add_argument("--fused-lm", action="store_true",
-                        help="with --decoder device-beam: fuse the LM into "
-                             "the device search (full shallow fusion) instead "
-                             "of host n-best rescoring")
-    parser.add_argument("--hotwords", type=str, default=None,
-                        help="with --decoder beam: comma-separated "
-                             "words/phrases (or @file, one per line) to bias "
-                             "finals AND interim beam decoding toward")
-    parser.add_argument("--hotword-weight", type=float, default=10.0)
-    parser.add_argument("--nbest", type=int, default=0,
-                        help="transcript events carry up to N scored "
-                             "alternative transcripts for every stream "
-                             "(needs a beam decoder; per-phrase decodes, so "
-                             "a throughput cost at arena scale — clients can "
-                             "instead opt in per stream with a JSON config "
-                             "frame {'nbest': N})")
-    parser.add_argument("--word-times", action="store_true",
-                        help="transcript events carry per-word times + "
-                             "confidences (CTC forced alignment)")
-    parser.add_argument("--interim", action="store_true",
-                        help="stream partial (in-progress phrase) transcripts "
-                             "as {'event': 'interim'} messages")
-    parser.add_argument("--interim-beam", action="store_true",
-                        help="interim transcripts from a carried-state beam "
-                             "search (LM-quality partials; implies --interim, "
-                             "needs --decoder beam)")
-    parser.add_argument("--interim-device-beam", action="store_true",
-                        help="carried beam search for interim transcripts "
-                             "runs on the TPU (one batched call per tick, "
-                             "zero host decode cost; implies --interim)")
-    parser.add_argument("--lm", type=Path, default=None,
-                        help="LM for beam search: ARPA text or any KenLM binary")
-    parser.add_argument("--interim-beam-width", type=int, default=8,
-                        help="device interim-beam width (with --interim-device-beam)")
-    parser.add_argument("--interim-beam-max-len", type=int, default=2048,
-                        help="device interim-beam max phrase frames")
-    parser.add_argument("--max-candidates", type=int, default=4096,
-                        help="streams accepted beyond --slots: they queue "
-                             "as candidates (chunks buffer host-side) and "
-                             "bind oldest-first as slots free — Triton's "
-                             "max_candidate_sequences semantics (default "
-                             "4096, its config value); 0 rejects at "
-                             "capacity with close code 1013")
-    parser.add_argument("--idle-evict-seconds", type=float, default=None,
-                        help="idle stream reap timeout (default 15 s, Triton parity)")
-    parser.add_argument("--force-evict-grace", type=float, default=None,
-                        help="min quiet seconds before a slot can be stolen under "
-                             "pressure (default 1 s; Triton itself never steals)")
-    args = parser.parse_args()
+    """Alias of ``python -m tone_tpu serve`` — one CLI surface, no drift.
 
-    logging.basicConfig(level=logging.INFO)
-    config = ToneConfig()
-    if args.checkpoint is not None:
-        from tone_tpu.checkpoint import load_checkpoint
+    Historically this module carried its own argument parser; it and the
+    subcommand had started to diverge (each grew flags the other lacked),
+    so the flags now live in one place (tone_tpu/__main__.py) and this
+    entry point forwards to it verbatim.
+    """
+    import sys
 
-        variables, loaded_cfg = load_checkpoint(args.checkpoint)
-        config = loaded_cfg or config
-    else:
-        import jax
+    from tone_tpu.__main__ import main as cli_main
 
-        from tone_tpu.core.model import init_model_params
-
-        logger.warning("no checkpoint given: serving RANDOM weights")
-        variables = init_model_params(jax.random.PRNGKey(0), config)
-
-    from tone_tpu.decoder import build_decoder
-
-    from tone_tpu.decoder import parse_hotwords
-
-    try:
-        decoder = build_decoder(args.decoder, lm=args.lm,
-                                fused_lm=args.fused_lm,
-                                beam_width=args.beam_width,
-                                hotwords=parse_hotwords(args.hotwords),
-                                hotword_weight=args.hotword_weight)
-    except ValueError as e:
-        raise SystemExit(str(e)) from None
-
-    engine = MultiStreamEngine(variables, config, n_slots=args.slots,
-                               decoder=decoder,
-                               interim_transcripts=args.interim,
-                               interim_beam=args.interim_beam,
-                               interim_device_beam=args.interim_device_beam,
-                               interim_beam_width=args.interim_beam_width,
-                               interim_beam_max_len=args.interim_beam_max_len,
-                               idle_evict_seconds=args.idle_evict_seconds,
-                               force_evict_grace=args.force_evict_grace,
-                               word_timestamps=args.word_times,
-                               nbest=args.nbest,
-                               max_candidates=args.max_candidates)
-    asyncio.run(serve(engine, args.host, args.port, metrics_port=args.metrics_port))
+    sys.argv = [sys.argv[0], "serve", *sys.argv[1:]]
+    cli_main()
 
 
 if __name__ == "__main__":
