@@ -110,6 +110,13 @@ def main() -> None:
     p_tr.add_argument("--batch-size", type=int, default=0,
                       help=">0: batch files through the bulk transcriber "
                            "(device-batched acoustics/decodes/alignment)")
+    p_tr.add_argument("--offline-forward", action="store_true",
+                      help="with --batch-size: full-sequence (blocked-"
+                           "attention) graph instead of the streaming chunk "
+                           "scan")
+    p_tr.add_argument("--data-parallel", action="store_true",
+                      help="with --batch-size: shard batch rows over all "
+                           "devices of a ('data',) mesh")
     _add_model_args(p_tr)
 
     p_srv = sub.add_parser("serve", help="websocket ASR server")
@@ -232,9 +239,15 @@ def main() -> None:
         if args.batch_size > 0:
             from tone_tpu.offline import OfflineTranscriber
 
+            mesh = None
+            if args.data_parallel:
+                from tone_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
             transcriber = OfflineTranscriber(
                 pipeline.model.variables, pipeline.model.config,
                 decoder=pipeline.decoder, batch_size=args.batch_size,
+                use_offline_forward=args.offline_forward, mesh=mesh,
                 word_timestamps=args.word_times)
             all_phrases = transcriber.transcribe(
                 [read_audio(p) for p in args.files])

@@ -499,9 +499,9 @@ def build_decoder(kind: str, *, lm: "str | Path | None" = None,
                   fused_lm: bool = False, beam_width: int | None = None,
                   hotwords: "Sequence[str] | None" = None,
                   hotword_weight: float = 10.0):
-    """CLI-facing decoder factory shared by ``python -m tone_tpu`` and the
-    standalone server (``tone_tpu/runtime/server.py``) so their dispatch
-    and validation cannot drift.
+    """CLI-facing decoder factory behind every ``python -m tone_tpu``
+    subcommand (``tone_tpu/runtime/server.py`` forwards to the same CLI),
+    so decoder dispatch and validation live in one place.
 
     ``kind`` is ``greedy`` / ``beam`` / ``device-beam``.  ``lm`` is a path
     to an ARPA text LM or any of the six KenLM binary formats.  ``fused_lm``
