@@ -47,6 +47,12 @@ RUN pip install --no-cache-dir /tmp/dist/*.whl "jax[tpu]" websockets \
 # (reference Dockerfile's LOAD_FROM_FOLDER).
 ENV TONE_TPU_MODEL_DIR=/models
 
+# Persistent XLA compile cache: restarts skip the jit/warmup compiles
+# (mount a volume over /cache to keep it across container replacements —
+# the TensorRT-engine-reuse equivalent).
+ENV TONE_TPU_COMPILE_CACHE=/cache/xla
+RUN mkdir -p /cache/xla && chmod 777 /cache/xla
+
 RUN useradd -s /bin/bash python
 USER python
 

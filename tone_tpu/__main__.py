@@ -43,6 +43,13 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--beam-width", type=int, default=None,
                    help="beam width override (default: 200 host / 32 device)")
     p.add_argument("--chunk-ms", type=int, default=300)
+    env_cache = os.environ.get("TONE_TPU_COMPILE_CACHE")
+    p.add_argument("--compile-cache", type=Path,
+                   default=Path(env_cache) if env_cache else None,
+                   help="persistent XLA compile-cache directory (default: "
+                        "$TONE_TPU_COMPILE_CACHE) — repeat runs and server "
+                        "restarts skip jit/warmup compiles, incl. the "
+                        "minutes-long fused-LM decode programs")
 
 
 def _build_pipeline(args):
@@ -52,6 +59,11 @@ def _build_pipeline(args):
     from tone_tpu.config import ToneConfig
     from tone_tpu.pipeline import StreamingCTCPipeline
     from tone_tpu.splitter import StreamingLogprobSplitter
+
+    if getattr(args, "compile_cache", None):
+        from tone_tpu.export import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     config = ToneConfig()
     if args.chunk_ms != 300:
