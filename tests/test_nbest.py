@@ -240,3 +240,40 @@ def test_device_nbest_fusion():
     lp = _random_lp(rng)
     hyps = dec.nbest(lp, 4)
     assert hyps and hyps[0][0] == dec.forward(lp)
+
+
+def test_pipeline_nbest():
+    """StreamingCTCPipeline(nbest=N) attaches alternatives to its phrases
+    (transcribe --nbest): top alternative == text, greedy rejected."""
+    import jax
+
+    from tone_tpu.acoustic import StreamingCTCModel
+    from tone_tpu.config import EncoderConfig, ToneConfig
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import GreedyCTCDecoder
+    from tone_tpu.pipeline import StreamingCTCPipeline
+    from tone_tpu.splitter import StreamingLogprobSplitter
+
+    enc = EncoderConfig(
+        n_layers=2, d_model=64, n_heads=4, rope_dim=16, ff_expansion_factor=2,
+        conv_kernel_size=7, subsampling_conv_channels=(4, 8),
+        mhsa_stateless_layers=1, reduction_position=0, upsample_position=1,
+        should_recompute_att_scores=(True, True))
+    cfg = ToneConfig(encoder=enc, compute_dtype="float32")
+    model = StreamingCTCModel(init_model_params(jax.random.PRNGKey(0), cfg), cfg)
+
+    with pytest.raises(ValueError, match="beam decoder"):
+        StreamingCTCPipeline(model, StreamingLogprobSplitter(),
+                             GreedyCTCDecoder(), nbest=3)
+
+    pipe = StreamingCTCPipeline(model, StreamingLogprobSplitter(),
+                                BeamSearchCTCDecoder(beam_width=8), nbest=3)
+    rng = np.random.default_rng(0)
+    audio = rng.integers(-20000, 20000, 2400 * 4).astype(np.int32)
+    phrases = pipe.forward_offline(audio)
+    assert phrases, "expected at least one phrase from random audio"
+    for p in phrases:
+        assert p.nbest is not None and 1 <= len(p.nbest) <= 3
+        assert p.nbest[0][0] == p.text
+        scores = [s for _, s in p.nbest]
+        assert scores == sorted(scores, reverse=True)

@@ -93,6 +93,28 @@ def test_stream_state_sharded_on_slots(tiny_variables, mesh):
         assert x.shape[axis] == 8, (x.shape, s.spec)
 
 
+def test_arena_shardings_matches_materialized(tiny_variables, mesh):
+    """arena_shardings (serve --data-parallel) must produce the same specs
+    as sharding a materialized state — it only swaps in jax.eval_shape to
+    avoid allocating an arena-sized buffer — and reject uneven slot counts
+    before any device work."""
+    from tone_tpu.core.model import init_streaming_state
+    from tone_tpu.parallel.mesh import arena_shardings
+
+    cfg, _ = tiny_variables
+    via_eval = arena_shardings(mesh, cfg, 8)
+    via_state = stream_state_shardings(mesh, init_streaming_state(cfg, 8))
+    assert jax.tree_util.tree_structure(via_eval) == \
+        jax.tree_util.tree_structure(via_state)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(via_eval, is_leaf=lambda x: hasattr(x, "spec")),
+            jax.tree_util.tree_leaves(via_state, is_leaf=lambda x: hasattr(x, "spec"))):
+        assert a.spec == b.spec
+
+    with pytest.raises(ValueError, match="multiple"):
+        arena_shardings(mesh, cfg, 9)
+
+
 def test_tp_matmul_actually_partitions(tiny_variables, mesh):
     """End to end: jit a sharded FF matmul under the mesh and check the
     compiled output sharding is the TP layout, not replicated."""

@@ -90,9 +90,13 @@ def _build_pipeline(args):
                                 hotword_weight=args.hotword_weight)
     except ValueError as e:
         raise SystemExit(str(e)) from None
-    return StreamingCTCPipeline(
-        model, StreamingLogprobSplitter(), decoder,
-        word_timestamps=getattr(args, "word_times", False))
+    try:
+        return StreamingCTCPipeline(
+            model, StreamingLogprobSplitter(), decoder,
+            word_timestamps=getattr(args, "word_times", False),
+            nbest=getattr(args, "nbest", 0))
+    except ValueError as e:
+        raise SystemExit(str(e)) from None
 
 
 def main() -> None:
@@ -122,6 +126,10 @@ def main() -> None:
     p_tr.add_argument("--batch-size", type=int, default=0,
                       help=">0: batch files through the bulk transcriber "
                            "(device-batched acoustics/decodes/alignment)")
+    p_tr.add_argument("--nbest", type=int, default=0,
+                      help="phrases carry up to N scored alternative "
+                           "transcripts (needs a beam decoder; shown with "
+                           "--json)")
     p_tr.add_argument("--offline-forward", action="store_true",
                       help="with --batch-size: full-sequence (blocked-"
                            "attention) graph instead of the streaming chunk "
@@ -240,11 +248,22 @@ def main() -> None:
     if args.command == "transcribe":
         from tone_tpu.audio import read_audio
 
+        if args.batch_size <= 0 and (args.offline_forward or args.data_parallel):
+            raise SystemExit(
+                "--offline-forward/--data-parallel apply to the bulk "
+                "transcriber only: pass --batch-size N")
+        if args.batch_size > 0 and args.nbest > 1:
+            raise SystemExit(
+                "--nbest decodes per phrase and is not supported on the "
+                "batched bulk path; drop --batch-size")
+
         def phrase_dict(p):
             d = {"text": p.text, "start_time": p.start_time,
                  "end_time": p.end_time}
             if p.words is not None:
                 d["words"] = [vars(w) for w in p.words]
+            if p.nbest is not None:
+                d["nbest"] = [{"text": t, "score": s} for t, s in p.nbest]
             return d
 
         pipeline = _build_pipeline(args)
@@ -291,15 +310,22 @@ def main() -> None:
 
         logging.basicConfig(level=logging.INFO)
 
-        pipeline = _build_pipeline(args)
-        sharding = None
+        mesh = None
         if args.data_parallel:
-            from tone_tpu.core.model import init_streaming_state
-            from tone_tpu.parallel.mesh import make_mesh, stream_state_shardings
+            from tone_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
             mesh = make_mesh(n_model=1)
-            sharding = stream_state_shardings(
-                mesh, init_streaming_state(pipeline.model.config, args.slots))
+            if args.slots % mesh.shape[DATA_AXIS]:
+                # fail before the (slow) checkpoint load / jit warmup
+                raise SystemExit(
+                    f"--data-parallel: --slots ({args.slots}) must be a "
+                    f"multiple of the device count ({mesh.shape[DATA_AXIS]})")
+        pipeline = _build_pipeline(args)
+        sharding = None
+        if mesh is not None:
+            from tone_tpu.parallel.mesh import arena_shardings
+
+            sharding = arena_shardings(mesh, pipeline.model.config, args.slots)
         engine = MultiStreamEngine(
             pipeline.model.variables, pipeline.model.config,
             n_slots=args.slots, decoder=pipeline.decoder, sharding=sharding,
@@ -320,6 +346,17 @@ def main() -> None:
     if args.command == "eval":
         from tone_tpu.eval import evaluate_pipeline, evaluate_server
 
+        local_flags = (args.batch_size > 0 or args.offline_forward
+                       or args.data_parallel)
+        if args.server and local_flags:
+            raise SystemExit(
+                "--server evaluates a remote deployment; "
+                "--batch-size/--offline-forward/--data-parallel only "
+                "apply to local batched eval")
+        if args.batch_size <= 0 and (args.offline_forward or args.data_parallel):
+            raise SystemExit(
+                "--offline-forward/--data-parallel apply to batched eval "
+                "only: pass --batch-size N")
         if args.server:
             result = evaluate_server(args.server, args.manifest, limit=args.limit)
         elif args.batch_size > 0:

@@ -114,6 +114,25 @@ def batch_shardings(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda _: batch_sharding(mesh), tree)
 
 
+def arena_shardings(mesh: Mesh, config: Any, n_slots: int) -> Any:
+    """Stream-state shardings for an ``n_slots`` serving arena — derived
+    via ``jax.eval_shape`` so no state is materialized just to read its
+    tree structure (an arena-sized allocation at production slot counts).
+
+    Validates the slot count up front: an uneven split would otherwise
+    surface as an opaque ``device_put`` error after the model load.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    if n_slots % n_data:
+        raise ValueError(
+            f"n_slots ({n_slots}) must be a multiple of the mesh '{DATA_AXIS}' "
+            f"axis size ({n_data}) to shard the stream arena evenly")
+    from tone_tpu.core.model import init_streaming_state
+
+    shapes = jax.eval_shape(lambda: init_streaming_state(config, n_slots))
+    return stream_state_shardings(mesh, shapes)
+
+
 def stream_state_shardings(mesh: Mesh, state: Any, batch_size: int = 0) -> Any:
     """Shardings for a ``StreamingState`` pytree: the stream-slot (batch)
     axis — wherever it is in each leaf — is sharded over 'data'.

@@ -37,7 +37,8 @@ class TextPhrase:
     forced alignment (tone_tpu/align.py) — beyond the reference, which is
     phrase-level only (tone/pipeline.py:151-164).
 
-    ``nbest`` (None unless n-best was requested, e.g. the serving
+    ``nbest`` (None unless n-best was requested — the pipeline's
+    ``nbest=`` constructor arg / ``transcribe --nbest``, or the serving
     engine's per-stream ``set_stream_nbest``) carries up to N alternative
     ``(text, score)`` transcripts, best first; ``nbest[0][0] == text``."""
 
@@ -63,7 +64,12 @@ class StreamingCTCPipeline:
         decoder: GreedyCTCDecoder | BeamSearchCTCDecoder,
         *,
         word_timestamps: bool = False,
+        nbest: int = 0,
     ) -> None:
+        if nbest > 1 and not hasattr(decoder, "nbest"):
+            raise ValueError(
+                "nbest > 1 needs a beam decoder (greedy has no alternatives)")
+        self.nbest = 0 if nbest <= 1 else int(nbest)
         self.model = model
         self.logprob_splitter = logprob_splitter
         self.decoder = decoder
@@ -172,7 +178,14 @@ class StreamingCTCPipeline:
         return phrases, (model_state_next, splitter_state_next)
 
     def _decode_phrase(self, logprob_phrase) -> TextPhrase:
-        text = self.decoder.forward(np.ascontiguousarray(logprob_phrase.logprobs))
+        logprobs = np.ascontiguousarray(logprob_phrase.logprobs)
+        alternatives = None
+        if self.nbest:
+            ranked = self.decoder.nbest(logprobs, self.nbest)
+            text = ranked[0][0] if ranked else ""
+            alternatives = tuple(ranked)
+        else:
+            text = self.decoder.forward(logprobs)
         frame_size = StreamingCTCModel.FRAME_SIZE
         time_bias = StreamingCTCModel.MEAN_TIME_BIAS
         pad_s = self.PADDING / StreamingCTCModel.SAMPLE_RATE
@@ -188,7 +201,7 @@ class StreamingCTCPipeline:
                 align_words(logprob_phrase.logprobs, text),
                 logprob_phrase.start_frame, frame_size, time_bias + pad_s)
         return TextPhrase(text=text, start_time=start_time,
-                          end_time=end_time, words=words)
+                          end_time=end_time, words=words, nbest=alternatives)
 
     def forward_offline(self, audio: "npt.NDArray[np.int32]") -> list[TextPhrase]:
         """Recognize a complete utterance (defined as looped streaming,

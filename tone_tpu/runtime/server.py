@@ -14,7 +14,8 @@ Unlike the reference demo (one synchronous pipeline, one request at a time),
 every connection maps to a slot in the shared device arena and all live
 connections advance together in one batched TPU step per 300 ms tick.
 
-Run:  python -m tone_tpu serve --checkpoint DIR [--port 8080]\n(``python -m tone_tpu.runtime.server`` is an alias of the same CLI)
+Run:  python -m tone_tpu serve --checkpoint DIR [--port 8080]
+(``python -m tone_tpu.runtime.server`` is an alias of the same CLI)
 """
 
 from __future__ import annotations
