@@ -166,6 +166,96 @@ def test_engine_per_stream_nbest():
         engine.shutdown()
 
 
+def test_engine_deployment_nbest_stays_batched():
+    """Deployment-wide nbest with a device decoder rides the batched
+    device_finals path (forward_batch_nbest) — never per-phrase
+    decoder.nbest host-pool calls (the measured throughput ceiling,
+    docs/serving.md)."""
+    engine = _tiny_engine(decoder=DeviceBeamSearchCTCDecoder(beam_width=8),
+                          nbest=3, final_decode_batch=2)
+    calls = {"batched": 0}
+    real = engine.decoder.forward_batch_nbest
+
+    def counting(lps, n):
+        calls["batched"] += 1
+        return real(lps, n)
+
+    engine.decoder.forward_batch_nbest = counting
+
+    def forbidden(*a, **k):
+        raise AssertionError("per-phrase nbest used on the batched path")
+
+    engine.decoder.nbest = forbidden
+    try:
+        assert engine.device_nbest
+        sid = engine.open_stream()
+        rng = np.random.default_rng(0)
+        finals = []
+        for i in range(4):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            engine.feed(sid, chunk, is_last=i == 3)
+            for futures in engine.tick().values():
+                finals.extend(f.result() for f in futures)
+        assert finals and calls["batched"] >= 1
+        for p in finals:
+            assert p.nbest is not None and 1 <= len(p.nbest) <= 3
+            assert p.nbest[0][0] == p.text
+            scores = [s for _, s in p.nbest]
+            assert scores == sorted(scores, reverse=True)
+    finally:
+        engine.shutdown()
+
+
+def test_engine_does_not_mutate_callers_decoder():
+    """The engine pins ITS OWN copy of the decoder to the serving batch
+    bucket; the caller's instance (maybe shared with a pipeline or a
+    second engine) keeps its bucketing."""
+    decoder = DeviceBeamSearchCTCDecoder(beam_width=8)
+    before = (decoder.batch_floor, decoder.max_batch)
+    rng = np.random.default_rng(5)
+    lp = _random_lp(rng)
+    want = decoder.forward(lp)
+    engine = _tiny_engine(decoder=decoder, final_decode_batch=4)
+    try:
+        assert engine.decoder is not decoder
+        assert engine.decoder.batch_floor == engine.decoder.max_batch == 4
+        assert (decoder.batch_floor, decoder.max_batch) == before
+        assert decoder.forward(lp) == want  # pipeline-side behavior intact
+    finally:
+        engine.shutdown()
+
+
+def test_nbest_one_rejected():
+    """nbest=1 is ambiguous ('up to 1 alternative' == the text field) —
+    the pipeline and the engine both reject it with a clear message
+    instead of silently clamping to 0."""
+    from tone_tpu.runtime.engine import MultiStreamEngine  # noqa: F401
+
+    with pytest.raises(ValueError, match="nbest=1"):
+        _tiny_engine(decoder=DeviceBeamSearchCTCDecoder(beam_width=8),
+                     nbest=1).shutdown()
+
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.acoustic import StreamingCTCModel
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.pipeline import StreamingCTCPipeline
+    from tone_tpu.splitter import StreamingLogprobSplitter
+
+    cfg = tiny_config()
+    model = StreamingCTCModel(
+        init_model_params(jax.random.PRNGKey(0), cfg), cfg)
+    with pytest.raises(ValueError, match="nbest=1"):
+        StreamingCTCPipeline(model, StreamingLogprobSplitter(),
+                             BeamSearchCTCDecoder(beam_width=8), nbest=1)
+
+
 def test_engine_nbest_needs_beam_decoder():
     from tone_tpu.runtime.engine import MultiStreamEngine  # noqa: F401
 

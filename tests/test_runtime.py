@@ -548,14 +548,18 @@ def test_engine_knobs_are_constructor_params(variables, cfg):
 
 
 def test_engine_pins_final_decode_buckets(variables, cfg):
-    """device_finals pins the decoder to (final_decode_batch, 64·2^k)
-    buckets so warmup() can precompile the closed program set."""
+    """device_finals pins the engine's OWN copy of the decoder to
+    (final_decode_batch, 64·2^k) buckets so warmup() can precompile the
+    closed program set — the caller's instance keeps its bucketing (it
+    may be shared with a pipeline or another engine)."""
     from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
 
     decoder = DeviceBeamSearchCTCDecoder(beam_width=4)
-    MultiStreamEngine(variables, cfg, n_slots=2, decoder=decoder,
-                      final_decode_batch=16)
-    assert decoder.batch_floor == decoder.max_batch == 16
+    before = (decoder.batch_floor, decoder.max_batch)
+    engine = MultiStreamEngine(variables, cfg, n_slots=2, decoder=decoder,
+                               final_decode_batch=16)
+    assert engine.decoder.batch_floor == engine.decoder.max_batch == 16
+    assert (decoder.batch_floor, decoder.max_batch) == before
 
 
 def test_engine_candidates_bind_before_newcomers(variables, cfg):

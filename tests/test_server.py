@@ -131,6 +131,139 @@ def test_ws_server_capacity_rejection():
     asyncio.run(main())
 
 
+def _tiny_setup():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    cfg = tiny_config()
+    return cfg, init_model_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_tick_failure_transient_recovers():
+    """Fault injection: one tick raises -> the supervisor logs, backs off,
+    retries, and the client still gets its transcript.  Health ends 200."""
+    cfg, variables = _tiny_setup()
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=2)
+        real_tick = engine.tick
+        calls = {"n": 0}
+
+        def flaky_tick():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected transient fault")
+            return real_tick()
+
+        engine.tick = flaky_tick
+        server = TranscriptionServer(engine, tick_seconds=0.02,
+                                     failure_backoff=0.01)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws:
+                port = ws.sockets[0].getsockname()[1]
+                rng = np.random.default_rng(0)
+                audio = rng.integers(-20000, 20000, 2400 * 4).astype(np.int16)
+                out = await _client(port, audio)
+            assert len(out) >= 1  # transcription survived the fault
+            assert calls["n"] > 1
+            assert server.health.tick_failures_total == 1
+            assert server.health.consecutive_failures == 0
+            assert not server.health.failed
+            code, body = server.health.status()
+            assert code == 200 and body.strip() == "ok"
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
+def test_tick_failure_persistent_flips_health_and_closes_clients():
+    """Fault injection: every tick raises -> after max_tick_failures the
+    server enters FAILED state, the connected client's socket closes with
+    4500 (not a 120 s hang), new connections are refused with 4500, and
+    /v2/health/ready serves 503."""
+    import urllib.error
+    import urllib.request
+
+    from tone_tpu.runtime.metrics import start_metrics_server
+
+    cfg, variables = _tiny_setup()
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=2)
+
+        def dead_tick():
+            raise RuntimeError("injected persistent fault")
+
+        engine.tick = dead_tick
+        server = TranscriptionServer(engine, tick_seconds=0.02,
+                                     max_tick_failures=2,
+                                     failure_backoff=0.01)
+        server.health.warmed = True  # as serve() does after warmup
+        metrics = start_metrics_server(engine, "127.0.0.1", 0,
+                                       health=server.health)
+        mport = metrics.server_address[1]
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws:
+                port = ws.sockets[0].getsockname()[1]
+                client = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                assert json.loads(await client.recv())["event"] == "ready"
+                await client.send(np.zeros(2400, "<i2").tobytes())
+                # The supervisor gives up after 2 failures and closes us.
+                with pytest.raises(websockets.ConnectionClosed) as err:
+                    await asyncio.wait_for(client.recv(), timeout=10)
+                assert err.value.rcvd.code == 4500
+                await asyncio.wait_for(tick, timeout=5)  # loop exited cleanly
+                assert server.health.failed
+                assert "injected persistent fault" in server.health.failed_reason
+                # New connections are refused with the same code.
+                late = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                with pytest.raises(websockets.ConnectionClosed) as err:
+                    await asyncio.wait_for(late.recv(), timeout=10)
+                assert err.value.rcvd.code == 4500
+            # Readiness reflects the failure (Triton liveness parity).
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{mport}/v2/health/ready")
+                raise AssertionError("expected 503")
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert b"injected persistent fault" in e.read()
+            with urllib.request.urlopen(f"http://127.0.0.1:{mport}/metrics") as r:
+                body = r.read().decode()
+            assert "tone_ready 0" in body
+            assert "tone_tick_failures_total 2" in body
+        finally:
+            tick.cancel()
+            metrics.shutdown()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
+def test_health_state_warmup_and_staleness():
+    """HealthState unit semantics: 503 before warmup, 200 after a good tick,
+    503 once the beat goes stale."""
+    import time as _time
+
+    from tone_tpu.runtime.metrics import HealthState
+
+    h = HealthState(stale_after=0.05)
+    assert h.status()[0] == 503 and "warmup" in h.status()[1]
+    h.record_success()
+    assert h.warmed and h.status()[0] == 200
+    _time.sleep(0.08)
+    code, body = h.status()
+    assert code == 503 and "stalled" in body
+    h.record_success()
+    assert h.status()[0] == 200
+
+
 @pytest.mark.slow
 def test_metrics_endpoints():
     """/metrics Prometheus exposition + /healthz + /v2/health/ready."""

@@ -252,7 +252,7 @@ def main() -> None:
             raise SystemExit(
                 "--offline-forward/--data-parallel apply to the bulk "
                 "transcriber only: pass --batch-size N")
-        if args.batch_size > 0 and args.nbest > 1:
+        if args.batch_size > 0 and args.nbest > 0:
             raise SystemExit(
                 "--nbest decodes per phrase and is not supported on the "
                 "batched bulk path; drop --batch-size")

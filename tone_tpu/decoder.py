@@ -340,55 +340,7 @@ class DeviceBeamSearchCTCDecoder:
         the best-scoring, matching the host decoders' nbest."""
         _validate_logprobs(logprobs)
         n = n or self.nbest_hyps
-        # rescoring reorders: rank the FULL device pool, truncate after —
-        # so nbest(lp, k)[0] always agrees with forward(lp)
-        pool = max(n, self.nbest_hyps)
-        padded, lengths = self._pad_batch([np.ascontiguousarray(logprobs)])
-
-        if self.fusion:
-            from tone_tpu.ops.beam_decode import (
-                fused_beam_advance, fused_beam_nbest, init_fused_beam_state)
-
-            state = init_fused_beam_state(padded.shape[0], self.beam_width,
-                                          self._lm, self.max_len,
-                                          hotwords=self._hotwords)
-            state = fused_beam_advance(state, padded, self._lm_arrays,
-                                       lengths, alpha=self.alpha,
-                                       beta=self.beta, hotwords=self._hotwords)
-            ranked = fused_beam_nbest(state, self._lm, pool,
-                                      alpha=self.alpha, beta=self.beta)[0]
-        else:
-            from tone_tpu.decoding.rescore import rescore_nbest
-
-            if self._hotwords is not None:
-                from tone_tpu.ops.beam_decode import (
-                    hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
-
-                state = init_hot_beam_state(padded.shape[0], self.beam_width,
-                                            self.max_len)
-                state = hot_beam_advance(state, padded, lengths,
-                                         hotwords=self._hotwords)
-                hyps = hot_beam_nbest(state, pool)[0]
-            else:
-                from tone_tpu.ops.beam_decode import (
-                    beam_advance, beam_nbest, init_beam_state)
-
-                state = init_beam_state(padded.shape[0], self.beam_width,
-                                        self.max_len)
-                state = beam_advance(state, padded, lengths)
-                hyps = beam_nbest(state, pool)[0]
-            ranked = rescore_nbest(hyps, self._lm,
-                                   alpha=self.alpha, beta=self.beta)
-        out: list[tuple[str, float]] = []
-        seen: set[str] = set()
-        for text, score in ranked:
-            if text in seen:
-                continue
-            seen.add(text)
-            out.append((text, score))
-            if len(out) >= n:
-                break
-        return out
+        return self.forward_batch_nbest([np.ascontiguousarray(logprobs)], n)[0]
 
     @staticmethod
     def _t_bucket(frames: int) -> int:
@@ -422,25 +374,45 @@ class DeviceBeamSearchCTCDecoder:
         program per bucket, not per shape — the same policy as
         OfflineTranscriber's acoustic batching.
         """
+        return [r[0][0] if r else ""
+                for r in self.forward_batch_nbest(logprobs_list, 1)]
+
+    def forward_batch_nbest(self, logprobs_list,
+                            n: int) -> list[list[tuple[str, float]]]:
+        """Batched n-best: per phrase, up to ``n`` ranked (text, score)
+        alternatives, best first, stripped-text duplicates collapsed.
+
+        Same bucketing/padding policy as :meth:`forward_batch` and the SAME
+        compiled device programs (the n-best readout is a host-side pass
+        over the already-transferred beam state), so the serving engine can
+        route n-best streams through its batched final-decode call instead
+        of per-phrase host-pool decodes.
+        """
         if not logprobs_list:
             return []
         groups: dict[int, list[int]] = {}
         for i, lp in enumerate(logprobs_list):
             groups.setdefault(self._t_bucket(lp.shape[0]), []).append(i)
-        out: list[str | None] = [None] * len(logprobs_list)
+        out: list[list[tuple[str, float]] | None] = [None] * len(logprobs_list)
         for t_pad in sorted(groups):
             idxs = groups[t_pad]
             cap = self.max_batch or len(idxs)
             for k in range(0, len(idxs), cap):
                 chunk = idxs[k:k + cap]
-                texts = self._decode_bucket(
-                    [logprobs_list[i] for i in chunk], t_pad)
-                for i, text in zip(chunk, texts):
-                    out[i] = text
+                ranked = self._decode_bucket(
+                    [logprobs_list[i] for i in chunk], t_pad, n)
+                for i, hyps in zip(chunk, ranked):
+                    out[i] = hyps
         return out
 
-    def _decode_bucket(self, logprobs_list, t_pad) -> list[str]:
-        n = len(logprobs_list)
+    def _decode_bucket(self, logprobs_list, t_pad,
+                       n: int = 1) -> list[list[tuple[str, float]]]:
+        """One padded device call; per row up to ``n`` deduplicated ranked
+        hypotheses.  The rescoring pool is the full ``max(n, nbest_hyps)``
+        readout and truncation happens after ranking, so the top-1 of any
+        ``n`` agrees with ``forward``."""
+        n_rows = len(logprobs_list)
+        pool = max(n, self.nbest_hyps)
         padded, lengths = self._pad_batch(logprobs_list, t_pad)
 
         if self.fusion:
@@ -454,34 +426,45 @@ class DeviceBeamSearchCTCDecoder:
                                        lengths, alpha=self.alpha,
                                        beta=self.beta,
                                        hotwords=self._hotwords)
-            hyps = fused_beam_nbest(state, self._lm, 1,
-                                    alpha=self.alpha, beta=self.beta)
-            return [h[0][0] if h else "" for h in hyps[:n]]
-
-        from tone_tpu.decoding.rescore import rescore_nbest
-
-        if self._hotwords is not None:
-            from tone_tpu.ops.beam_decode import (
-                hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
-
-            state = init_hot_beam_state(padded.shape[0], self.beam_width,
-                                        self.max_len)
-            state = hot_beam_advance(state, padded, lengths,
-                                     hotwords=self._hotwords)
-            nbest = hot_beam_nbest(state, self.nbest_hyps)
+            ranked_rows = fused_beam_nbest(state, self._lm, pool,
+                                           alpha=self.alpha, beta=self.beta)
         else:
-            from tone_tpu.ops.beam_decode import (
-                beam_advance, beam_nbest, init_beam_state)
+            from tone_tpu.decoding.rescore import rescore_nbest
 
-            state = init_beam_state(padded.shape[0], self.beam_width,
-                                    self.max_len)
-            state = beam_advance(state, padded, lengths)
-            nbest = beam_nbest(state, self.nbest_hyps)
-        out = []
-        for hyps in nbest[:n]:
-            ranked = rescore_nbest(hyps, self._lm,
-                                   alpha=self.alpha, beta=self.beta)
-            out.append(ranked[0][0] if ranked else "")
+            if self._hotwords is not None:
+                from tone_tpu.ops.beam_decode import (
+                    hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
+
+                state = init_hot_beam_state(padded.shape[0], self.beam_width,
+                                            self.max_len)
+                state = hot_beam_advance(state, padded, lengths,
+                                         hotwords=self._hotwords)
+                hyps_rows = hot_beam_nbest(state, pool)
+            else:
+                from tone_tpu.ops.beam_decode import (
+                    beam_advance, beam_nbest, init_beam_state)
+
+                state = init_beam_state(padded.shape[0], self.beam_width,
+                                        self.max_len)
+                state = beam_advance(state, padded, lengths)
+                hyps_rows = beam_nbest(state, pool)
+            ranked_rows = [rescore_nbest(hyps, self._lm,
+                                         alpha=self.alpha, beta=self.beta)
+                           for hyps in hyps_rows[:n_rows]]
+        return [self._dedup_ranked(ranked, n)
+                for ranked in ranked_rows[:n_rows]]
+
+    @staticmethod
+    def _dedup_ranked(ranked, n: int) -> list[tuple[str, float]]:
+        out: list[tuple[str, float]] = []
+        seen: set[str] = set()
+        for text, score in ranked:
+            if text in seen:
+                continue
+            seen.add(text)
+            out.append((text, score))
+            if len(out) >= n:
+                break
         return out
 
 

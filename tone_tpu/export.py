@@ -107,12 +107,30 @@ def load_exported(path: str | Path):
     return exported.call
 
 
-def enable_compilation_cache(cache_dir: str | Path) -> None:
-    """Turn on XLA's persistent compilation cache."""
+def enable_compilation_cache(cache_dir: str | Path) -> bool:
+    """Turn on XLA's persistent compilation cache; returns True on success.
+
+    An unusable directory (the Docker image always sets
+    TONE_TPU_COMPILE_CACHE=/cache/xla, and a host bind mount there may be
+    root-owned) must not abort startup — the cache is an optimization, so
+    degrade to a logged warning and run without it.
+    """
     cache_dir = Path(cache_dir)
-    cache_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        probe = cache_dir / ".tone_tpu_writable"
+        probe.touch()
+        probe.unlink()
+    except OSError as e:
+        import logging
+
+        logging.getLogger("tone_tpu.export").warning(
+            "persistent compile cache disabled (%s unusable: %s)",
+            cache_dir, e)
+        return False
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return True
 
 
 def aot_warmup(model, batch_sizes: Sequence[int]) -> None:

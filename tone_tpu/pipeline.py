@@ -66,10 +66,14 @@ class StreamingCTCPipeline:
         word_timestamps: bool = False,
         nbest: int = 0,
     ) -> None:
+        if nbest == 1:
+            raise ValueError(
+                "nbest=1 is ambiguous (phrases always carry the top "
+                "hypothesis as .text): use 0 for no alternatives or N >= 2")
         if nbest > 1 and not hasattr(decoder, "nbest"):
             raise ValueError(
                 "nbest > 1 needs a beam decoder (greedy has no alternatives)")
-        self.nbest = 0 if nbest <= 1 else int(nbest)
+        self.nbest = int(nbest) if nbest > 1 else 0
         self.model = model
         self.logprob_splitter = logprob_splitter
         self.decoder = decoder

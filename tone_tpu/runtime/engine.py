@@ -13,6 +13,7 @@ a thread pool so it never stalls the TPU tick.
 
 from __future__ import annotations
 
+import copy
 import threading
 import time
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -139,9 +140,12 @@ class MultiStreamEngine:
 
         ``nbest``: deployment-wide default for per-stream n-best (every new
         stream starts with it; ``set_stream_nbest`` overrides per request).
-        >1 routes finals through per-phrase ``decoder.nbest`` calls instead
-        of the batched device_finals path — a real throughput cost at arena
-        scale, so the default is top-1.
+        Must be 0 (top-1 only) or >= 2 — 1 would silently mean "no
+        alternatives", so it is rejected.  With a device decoder
+        (``forward_batch_nbest``) n-best streams stay on the batched
+        device_finals path — deployment-wide n-best costs one shared
+        ranked readout, not per-phrase host decodes; only host decoders
+        fall back to per-phrase ``decoder.nbest`` pool calls.
 
         ``max_candidates``: streams accepted beyond the slot count.  With
         every slot busy, up to this many new streams queue as CANDIDATES —
@@ -166,13 +170,20 @@ class MultiStreamEngine:
         # at arena scale the per-phrase host pool is the throughput ceiling
         # long before the TPU is (docs/serving.md).
         self.device_finals = hasattr(decoder, "forward_batch")
+        self.device_nbest = hasattr(decoder, "forward_batch_nbest")
         if self.device_finals:
             # Pin the decoder to one device-batch bucket per frame bucket:
             # every serving decode then hits a program warmup() compiled up
             # front — no mid-tick XLA compiles, and a tick's worst case
             # (every slot closing a phrase at once) runs as bounded
             # sequential calls instead of one giant padded program.
+            # Copy first: the caller's decoder may also serve a pipeline or
+            # a second engine, and reconfiguring a shared object behind its
+            # back silently changes THEIR bucketing (shallow copy — the LM
+            # arrays and compiled-program caches stay shared).
+            decoder = copy.copy(decoder)
             decoder.batch_floor = decoder.max_batch = final_decode_batch
+            self.decoder = decoder
         self.interim_transcripts = (interim_transcripts or interim_beam
                                     or interim_device_beam)
         self.interim_device_beam = interim_device_beam
@@ -184,10 +195,14 @@ class MultiStreamEngine:
         self.word_timestamps = word_timestamps
         if nbest and (nbest < 0 or nbest > self.MAX_NBEST):
             raise ValueError(f"nbest must be 0..{self.MAX_NBEST}, got {nbest}")
-        if nbest and nbest > 1 and not hasattr(decoder or (), "nbest"):
+        if nbest == 1:
+            raise ValueError("nbest=1 is ambiguous (finals always carry the "
+                             "top hypothesis as .text): use 0 for no "
+                             "alternatives or N >= 2")
+        if nbest and not hasattr(decoder or (), "nbest"):
             raise ValueError("nbest > 1 needs a beam decoder (greedy has no "
                              "alternative hypotheses)")
-        self.default_nbest = 0 if not nbest or nbest <= 1 else int(nbest)
+        self.default_nbest = int(nbest) if nbest else 0
         if idle_evict_seconds is not None:
             self.IDLE_EVICT_SECONDS = idle_evict_seconds
         if force_evict_grace is not None:
@@ -339,11 +354,11 @@ class MultiStreamEngine:
     def set_stream_nbest(self, sid: int, n: int | None) -> None:
         """Per-REQUEST n-best: this stream's final phrases carry up to ``n``
         alternative ``(text, score)`` transcripts (``TextPhrase.nbest``).
-        ``None``/0/1 clears (top-1 only, the default).  The stream's phrases
-        decode per-phrase through the decoder's ``nbest`` method — on the
-        host pool for host decoders, one device call per phrase for the
-        device search — so at arena scale prefer leaving most streams at
-        top-1 (the batched device_finals path).
+        ``None``/0/1 clears (top-1 only, the default).  With a device
+        decoder the stream STAYS on the batched device_finals path
+        (``forward_batch_nbest`` shares the top-1 compiled programs), so
+        arena-scale n-best costs only the shared ranked readout; host
+        decoders fall back to per-phrase ``decoder.nbest`` pool calls.
         """
         n = int(n or 0)
         if n < 0 or n > self.MAX_NBEST:
@@ -571,13 +586,15 @@ class MultiStreamEngine:
                 stream.ticks += 1
                 phrases = by_slot.get(stream.slot)
                 if phrases and self.device_finals and stream.decoder is None \
-                        and not stream.nbest:
+                        and (not stream.nbest or self.device_nbest):
                     futs = [Future() for _ in phrases]
-                    batch_finals.extend(zip(futs, phrases))
+                    batch_finals.extend(
+                        (f, p, stream.nbest) for f, p in zip(futs, phrases))
                     results[sid] = futs
                 elif phrases:
-                    # per-stream overrides (request hotwords / n-best) decode
-                    # per-phrase on the pool alongside the host-decoder default
+                    # per-stream decoder overrides (request hotwords), and
+                    # n-best under a host-only decoder, decode per-phrase on
+                    # the pool alongside the host-decoder default
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p,
                                                  stream.decoder, stream.nbest)
@@ -865,29 +882,46 @@ class MultiStreamEngine:
                           words=self._word_times(logprob_phrase, text),
                           nbest=alternatives)
 
-    def _decode_batch(self, items: list[tuple[Future, object]]) -> None:
+    def _decode_batch(self, items: list[tuple[Future, object, int]]) -> None:
         """Decode a tick's completed phrases in one batched device call,
-        resolving each phrase's future (device_finals path)."""
+        resolving each phrase's future (device_finals path).
+
+        Mixed n-best rides the same call: when any phrase this tick wants
+        alternatives, the batch runs through ``forward_batch_nbest`` at the
+        largest requested n — the SAME compiled device programs as the
+        top-1 path (the ranked readout is a host-side pass over the
+        already-transferred beam state), so deployment-wide ``--nbest``
+        keeps the batched-finals throughput instead of regressing to
+        per-phrase host-pool decodes (docs/serving.md's measured ceiling).
+        """
+        max_n = max((n for _, _, n in items), default=0)
         try:
-            texts = self.decoder.forward_batch(
-                [np.ascontiguousarray(p.logprobs) for _, p in items])
+            lps = [np.ascontiguousarray(p.logprobs) for _, p, _ in items]
+            if max_n > 1:
+                ranked_rows = self.decoder.forward_batch_nbest(lps, max_n)
+                texts = [r[0][0] if r else "" for r in ranked_rows]
+            else:
+                texts = self.decoder.forward_batch(lps)
+                ranked_rows = [None] * len(items)
         except BaseException as e:  # noqa: BLE001 — futures must resolve
-            for fut, _ in items:
+            for fut, _, _ in items:
                 fut.set_exception(e)
             return
-        for (fut, phrase), text in zip(items, texts):
+        for (fut, phrase, n), text, ranked in zip(items, texts, ranked_rows):
             start, end = self._phrase_times(phrase)
             self.stats.phrases_decoded += 1
+            alternatives = tuple(ranked[:n]) if ranked and n > 1 else None
             if self.word_timestamps and text:
                 # Forced alignment is host CPU work (up to ~85 ms for a
                 # 2000-frame force-split phrase) — run it on the decode
                 # pool, not the tick thread.
                 def finish(fut=fut, phrase=phrase, text=text,
-                           start=start, end=end):
+                           start=start, end=end, alternatives=alternatives):
                     try:
                         fut.set_result(TextPhrase(
                             text=text, start_time=start, end_time=end,
-                            words=self._word_times(phrase, text)))
+                            words=self._word_times(phrase, text),
+                            nbest=alternatives))
                     except BaseException as e:  # noqa: BLE001
                         fut.set_exception(e)
 
@@ -899,7 +933,7 @@ class MultiStreamEngine:
                     finish()
             else:
                 fut.set_result(TextPhrase(text=text, start_time=start,
-                                          end_time=end))
+                                          end_time=end, nbest=alternatives))
 
     # -- eviction ----------------------------------------------------------
 

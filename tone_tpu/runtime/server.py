@@ -28,24 +28,44 @@ from pathlib import Path
 import numpy as np
 
 from tone_tpu.runtime.engine import MultiStreamEngine, UnknownStreamError
+from tone_tpu.runtime.metrics import HealthState
 
 logger = logging.getLogger("tone_tpu.server")
 
 _EOS = object()      # end-of-stream marker through a session's phrase queue
 _EVICTED = object()  # slot reclaimed (idle timeout / pressure) marker
+_FAILED = object()   # server entered FAILED state: close the socket
 
 # Close codes (4xxx = application-defined per RFC 6455)
 CLOSE_EVICTED = 4408  # idle timeout / slot reclaimed — reconnect to resume
+CLOSE_FAILED = 4500   # server failure: transcription stopped, do not retry here
 
 TICK_SECONDS = 0.06  # poll faster than real-time so queued chunks drain
 
 
 class TranscriptionServer:
-    """Asyncio server: one engine, one tick loop, N websocket sessions."""
+    """Asyncio server: one engine, one tick loop, N websocket sessions.
 
-    def __init__(self, engine: MultiStreamEngine, tick_seconds: float = TICK_SECONDS):
+    The tick loop is SUPERVISED (the reference's Triton liveness contract,
+    scripts/docker-compose.yml:24-31): a tick exception is caught, logged,
+    and retried with backoff — transient device hiccups lose at most a few
+    ticks.  ``max_tick_failures`` consecutive failures flip the server to a
+    permanent FAILED state: every connected client's socket closes with
+    code 4500 (instead of hanging to its flush timeout), new connections
+    are refused with the same code, and ``health.status()`` — what
+    /v2/health/ready serves — turns 503 so an orchestrator restarts the
+    process.
+    """
+
+    def __init__(self, engine: MultiStreamEngine, tick_seconds: float = TICK_SECONDS,
+                 health: HealthState | None = None,
+                 max_tick_failures: int = 5,
+                 failure_backoff: float = 0.25):
         self.engine = engine
         self.tick_seconds = tick_seconds
+        self.health = health if health is not None else HealthState()
+        self.max_tick_failures = max_tick_failures
+        self.failure_backoff = failure_backoff
         self._queues: dict[int, asyncio.Queue] = {}
         self._loop: asyncio.AbstractEventLoop | None = None
 
@@ -54,34 +74,63 @@ class TranscriptionServer:
     async def tick_loop(self) -> None:
         self._loop = asyncio.get_running_loop()
         while True:
-            results = await asyncio.to_thread(self.engine.tick)
-            for sid, futures in results.items():
-                queue = self._queues.get(sid)
-                if queue is None:
-                    continue
-                for fut in futures:
-                    queue.put_nowait(fut)
-            # Partial (in-progress phrase) text, when the engine produces it.
-            for sid, text in getattr(self.engine, "last_interims", {}).items():
-                queue = self._queues.get(sid)
-                if queue is not None:
-                    queue.put_nowait(("interim", text))
-            # Deliver EOS markers strictly after that stream's final phrases.
-            for sid in self.engine.pop_finished():
-                queue = self._queues.get(sid)
-                if queue is not None:
-                    queue.put_nowait(_EOS)
-            # Tell evicted clients their session ended (Triton's idle reaping
-            # is silent; here the socket closes with a distinct code instead
-            # of the next feed erroring out).
-            for sid in self.engine.pop_evicted():
-                queue = self._queues.get(sid)
-                if queue is not None:
-                    queue.put_nowait(_EVICTED)
+            try:
+                await self._tick_once()
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:  # noqa: BLE001 — supervised: contain, retry
+                self.health.record_failure()
+                n = self.health.consecutive_failures
+                logger.exception("tick failed (%d/%d consecutive)",
+                                 n, self.max_tick_failures)
+                if n >= self.max_tick_failures:
+                    self._enter_failed_state(f"{type(e).__name__}: {e}")
+                    return
+                await asyncio.sleep(
+                    min(self.failure_backoff * 2 ** (n - 1), 2.0))
+                continue
+            self.health.record_success()
             if self.engine.has_backlog():
                 await asyncio.sleep(0)  # keep draining at device speed
             else:
                 await asyncio.sleep(self.tick_seconds)
+
+    async def _tick_once(self) -> None:
+        results = await asyncio.to_thread(self.engine.tick)
+        for sid, futures in results.items():
+            queue = self._queues.get(sid)
+            if queue is None:
+                continue
+            for fut in futures:
+                queue.put_nowait(fut)
+        # Partial (in-progress phrase) text, when the engine produces it.
+        for sid, text in getattr(self.engine, "last_interims", {}).items():
+            queue = self._queues.get(sid)
+            if queue is not None:
+                queue.put_nowait(("interim", text))
+        # Deliver EOS markers strictly after that stream's final phrases.
+        for sid in self.engine.pop_finished():
+            queue = self._queues.get(sid)
+            if queue is not None:
+                queue.put_nowait(_EOS)
+        # Tell evicted clients their session ended (Triton's idle reaping
+        # is silent; here the socket closes with a distinct code instead
+        # of the next feed erroring out).
+        for sid in self.engine.pop_evicted():
+            queue = self._queues.get(sid)
+            if queue is not None:
+                queue.put_nowait(_EVICTED)
+
+    def _enter_failed_state(self, reason: str) -> None:
+        """Repeated tick failures: stop lying to clients.  Health turns 503
+        and every open session is told to close NOW with code 4500 — a
+        hung-until-timeout websocket over a dead engine is the failure mode
+        this exists to prevent."""
+        self.health.fail(reason)
+        logger.error("tick loop FAILED permanently (%s) — closing %d client(s)",
+                     reason, len(self._queues))
+        for queue in self._queues.values():
+            queue.put_nowait(_FAILED)
 
     # -- one websocket session --------------------------------------------
 
@@ -90,6 +139,11 @@ class TranscriptionServer:
         if not path.startswith("/api/ws"):
             await websocket.close(code=4404, reason="unknown path")
             return
+        if self.health.failed:
+            await websocket.close(code=CLOSE_FAILED, reason="server failed")
+            return
+
+        from websockets.exceptions import ConnectionClosed
 
         engine = self.engine
         config = engine.config
@@ -187,6 +241,10 @@ class TranscriptionServer:
                 # Evicted between the tick-loop notice and this feed.
                 await websocket.close(code=CLOSE_EVICTED, reason="stream evicted")
                 return
+            except ConnectionClosed:
+                # Client vanished mid-stream, or the sender loop closed the
+                # socket (eviction / server failure) while we were reading.
+                return
 
             # The sender exits once the engine's EOS marker (queued after the
             # final phrases) is delivered.
@@ -208,6 +266,11 @@ class TranscriptionServer:
                 if fut is _EVICTED:
                     await websocket.close(code=CLOSE_EVICTED,
                                           reason="idle timeout: slot reclaimed")
+                    return
+                if fut is _FAILED:
+                    await websocket.close(code=CLOSE_FAILED,
+                                          reason="server failure: "
+                                                 "transcription stopped")
                     return
                 if isinstance(fut, tuple) and fut[0] == "interim":
                     await websocket.send(json.dumps(
@@ -258,19 +321,22 @@ async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 80
                 metrics_port: int | None = 8002):
     import websockets
 
+    health = HealthState()
     metrics_server = None
     if metrics_port:
         from tone_tpu.runtime.metrics import start_metrics_server
 
         try:
-            metrics_server = start_metrics_server(engine, host, metrics_port)
+            metrics_server = start_metrics_server(engine, host, metrics_port,
+                                                  health=health)
             logger.info("metrics at http://%s:%d/metrics", host, metrics_port)
         except OSError as e:
             logger.warning("metrics server disabled: %s", e)
 
-    server = TranscriptionServer(engine)
+    server = TranscriptionServer(engine, health=health)
     logger.info("warming up (compiling the %d-slot tick step)...", engine.arena.n_slots)
     await asyncio.to_thread(engine.warmup)
+    health.warmed = True  # /v2/health/ready flips 503 -> 200 here
     tick_task = asyncio.create_task(server.tick_loop())
     async with websockets.serve(server.handle, host, port, max_size=2**22,
                                 process_request=_static_page_handler()):
