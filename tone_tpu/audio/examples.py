@@ -77,6 +77,25 @@ def synthesize_speech_like(seed: int, phrase_durations: tuple[float, ...],
     return np.round(audio * 32767).astype(np.int16)
 
 
+def _writable_examples_dir() -> Path:
+    """The package dir when writable (dev checkout), else a user cache dir
+    (installed wheel in read-only site-packages)."""
+    try:
+        EXAMPLES_DIR.mkdir(parents=True, exist_ok=True)
+        probe = EXAMPLES_DIR / ".write-probe"
+        probe.touch()
+        probe.unlink()
+        return EXAMPLES_DIR
+    except OSError:
+        import os
+
+        cache_root = Path(os.environ.get("XDG_CACHE_HOME",
+                                         Path.home() / ".cache"))
+        fallback = cache_root / "tone_tpu" / "examples"
+        fallback.mkdir(parents=True, exist_ok=True)
+        return fallback
+
+
 def example_path(name: str) -> Path:
     """Path to a bundled example FLAC, baking it on first use."""
     if name not in _SPECS:
@@ -85,9 +104,11 @@ def example_path(name: str) -> Path:
     if not path.exists():
         from tone_tpu.audio.flac_write import encode_flac
 
-        EXAMPLES_DIR.mkdir(parents=True, exist_ok=True)
-        seed, durations = _SPECS[name]
-        tmp = path.with_suffix(".tmp")
-        encode_flac(tmp, synthesize_speech_like(seed, durations), _SR)
-        tmp.replace(path)  # atomic under concurrent first use
+        directory = _writable_examples_dir()
+        path = directory / name
+        if not path.exists():
+            seed, durations = _SPECS[name]
+            tmp = path.with_suffix(".tmp")
+            encode_flac(tmp, synthesize_speech_like(seed, durations), _SR)
+            tmp.replace(path)  # atomic under concurrent first use
     return path
