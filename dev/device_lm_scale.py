@@ -198,10 +198,14 @@ def synth_probing_lm(n_grams: int, n_words: int = 100_000, seed: int = 0):
     t0 = time.monotonic()
     lm = DeviceProbingLM.from_file(path)
     t_load = time.monotonic() - t0
+    t0 = time.monotonic()
+    DeviceProbingLM.from_file(path)  # second load rides the disk cache
+    t_reload = time.monotonic() - t0
     total = len(uni) + len(bi) + len(tri)
     return lm, total, {"synth_s": round(t_tables, 1),
                        "write_s": round(t_write, 1),
                        "load_s": round(t_load, 1),
+                       "cached_reload_s": round(t_reload, 1),
                        "bin_mb": round(path.stat().st_size / 1e6, 1),
                        "probe": lm.probe}
 

@@ -37,12 +37,76 @@ right class for any LM artifact.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, fields
+from pathlib import Path
 
 import jax.tree_util
 import numpy as np
 
 from tone_tpu.config import LABELS
+
+# On-disk cache of the re-bucketed tables.  Building them from a 10M-gram
+# probing binary costs ~99 s (Python trie build + table re-bucketing,
+# docs/performance.md) — paid on every server restart without a cache.
+# Like the XLA compile cache (tone_tpu/export.py), the built arrays are
+# serialized beside the source artifact (or under $XDG_CACHE_HOME when
+# that directory is read-only) keyed by content digest + layout version,
+# so the second load is an .npz read.  Disable with TONE_TPU_LM_CACHE=0.
+_CACHE_LAYOUT = 1
+
+
+def _artifact_digest(path) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(1 << 22)
+            if not block:
+                break
+            h.update(block)
+    return h.hexdigest()
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("TONE_TPU_LM_CACHE", "1") != "0"
+
+
+def _cache_candidates(path, digest: str, kind: str) -> list[Path]:
+    p = Path(path)
+    name = f"{p.name}.{kind}.v{_CACHE_LAYOUT}.{digest}.npz"
+    cache_root = Path(os.environ.get("XDG_CACHE_HOME",
+                                     Path.home() / ".cache"))
+    return [p.parent / name, cache_root / "tone_tpu" / "device-lm" / name]
+
+
+def _cache_load(path, digest: str, kind: str) -> "dict | None":
+    for cand in _cache_candidates(path, digest, kind):
+        if cand.exists():
+            try:
+                with np.load(cand, allow_pickle=False) as z:
+                    return dict(z.items())
+            except (OSError, ValueError):
+                continue  # corrupt/truncated cache: rebuild
+    return None
+
+
+def _cache_save(path, digest: str, kind: str, arrays: dict) -> None:
+    for cand in _cache_candidates(path, digest, kind):
+        try:
+            cand.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cand.with_suffix(f".tmp{os.getpid()}")
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrays)
+            tmp.replace(cand)  # atomic under concurrent builders
+            return
+        except OSError:
+            continue  # read-only dir: fall through to the user cache
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "device-LM cache not written (no writable location for %s)", path)
 
 
 class _ArraysBase:
@@ -345,26 +409,56 @@ class DeviceLM:
             node_word=node_word, probe=probe, edge_probe=edge_probe)
 
     @classmethod
-    def from_file(cls, path) -> "DeviceLM":
+    def from_file(cls, path, cache: bool | None = None) -> "DeviceLM":
         """Build from an enumerable LM artifact: ARPA text (optionally .gz)
         or a KenLM trie-family binary, using load_lm's single format
         dispatch.  Probing binaries store only hashed keys (the stored
         grams cannot be enumerated) and fuse through
         :class:`DeviceProbingLM` instead — :func:`load_device_lm`
-        dispatches on the artifact for you."""
+        dispatches on the artifact for you.
+
+        The built tables are cached on disk keyed by artifact digest +
+        layout version (see module docs); ``cache=False`` (or env
+        ``TONE_TPU_LM_CACHE=0``) forces a rebuild."""
+        if cache is None:
+            cache = _cache_enabled()
+        digest = _artifact_digest(path) if cache else ""
+        if cache:
+            z = _cache_load(path, digest, "device-lm")
+            if z is not None:
+                return cls(
+                    order=int(z["order"]), unk_id=int(z["unk_id"]),
+                    bos_id=int(z["bos_id"]), n_words=int(z["n_words"]),
+                    words=z["words"].tolist(),
+                    keys1=z["keys1"], keys2=z["keys2"],
+                    probs=z["probs"], backoffs=z["backoffs"],
+                    edge_keys=z["edge_keys"], edge_child=z["edge_child"],
+                    node_word=z["node_word"],
+                    probe=int(z["probe"]), edge_probe=int(z["edge_probe"]))
         from tone_tpu.decoding.lm import ArpaLM, load_lm
 
         lm = load_lm(path)
         if isinstance(lm, ArpaLM):
-            return cls.from_ngrams(lm._ngrams)
-        from tone_tpu.decoding.kenlm_trie import KenLMTrie, trie_to_ngrams
+            built = cls.from_ngrams(lm._ngrams)
+        else:
+            from tone_tpu.decoding.kenlm_trie import KenLMTrie, trie_to_ngrams
 
-        if isinstance(lm, KenLMTrie):
-            return cls.from_ngrams(trie_to_ngrams(lm))
-        raise ValueError(
-            f"{path}: probing-format KenLM binaries cannot be enumerated "
-            "into DeviceLM tables; load through load_device_lm (which "
-            "probes the binary's own hash tables via DeviceProbingLM)")
+            if not isinstance(lm, KenLMTrie):
+                raise ValueError(
+                    f"{path}: probing-format KenLM binaries cannot be "
+                    "enumerated into DeviceLM tables; load through "
+                    "load_device_lm (which probes the binary's own hash "
+                    "tables via DeviceProbingLM)")
+            built = cls.from_ngrams(trie_to_ngrams(lm))
+        if cache:
+            _cache_save(path, digest, "device-lm", dict(
+                order=built.order, unk_id=built.unk_id, bos_id=built.bos_id,
+                n_words=built.n_words, words=np.asarray(built.words),
+                keys1=built.keys1, keys2=built.keys2, probs=built.probs,
+                backoffs=built.backoffs, edge_keys=built.edge_keys,
+                edge_child=built.edge_child, node_word=built.node_word,
+                probe=built.probe, edge_probe=built.edge_probe))
+        return built
 
     def arrays(self) -> DeviceLMArrays:
         """Device-resident view, uploaded once and cached — passing numpy
@@ -480,7 +574,11 @@ class DeviceProbingLM:
     edge_probe: int = PROBE  # trie-edge probe window
 
     @classmethod
-    def from_file(cls, path) -> "DeviceProbingLM":
+    def from_file(cls, path, cache: bool | None = None) -> "DeviceProbingLM":
+        """Tables are disk-cached like :meth:`DeviceLM.from_file` — the
+        ~99 s re-bucketing of a 10M-gram binary is paid once per artifact;
+        the ``KenLMBinary`` host twin (a straight parse of the file) is
+        reconstructed on every load."""
         from tone_tpu.decoding.kenlm_binary import KenLMBinary
 
         binary = KenLMBinary(path)
@@ -491,6 +589,23 @@ class DeviceProbingLM:
                 "(build_binary was run on vocab-less input); device fusion "
                 "needs them to map decoded words to ids — use host fusion "
                 "or n-best rescoring instead")
+        if cache is None:
+            cache = _cache_enabled()
+        digest = _artifact_digest(path) if cache else ""
+        if cache:
+            z = _cache_load(path, digest, "device-probing-lm")
+            if z is not None:
+                return cls(
+                    order=p.order, unk_id=0, bos_id=binary.word_id("<s>"),
+                    binary=binary,
+                    keys1=z["keys1"], keys2=z["keys2"],
+                    probs=z["probs"], backoffs=z["backoffs"],
+                    uni_prob=np.ascontiguousarray(p.uni_prob, np.float32),
+                    uni_backoff=np.ascontiguousarray(p.uni_backoff,
+                                                     np.float32),
+                    edge_keys=z["edge_keys"], edge_child=z["edge_child"],
+                    node_word=z["node_word"],
+                    probe=int(z["probe"]), edge_probe=int(z["edge_probe"]))
 
         k1s, k2s, prs, bos = [], [], [], []
         for n, (keys, probs_n, backoffs_n) in enumerate(p.middles, start=2):
@@ -513,6 +628,11 @@ class DeviceProbingLM:
             (w, i) for i, w in enumerate(p.words)
             if w not in ("<s>", "</s>", "<unk>"))
 
+        if cache:
+            _cache_save(path, digest, "device-probing-lm", dict(
+                keys1=keys1, keys2=keys2, probs=probs, backoffs=backoffs,
+                edge_keys=edge_keys, edge_child=edge_child,
+                node_word=node_word, probe=probe, edge_probe=edge_probe))
         return cls(
             order=p.order, unk_id=0, bos_id=binary.word_id("<s>"),
             binary=binary, keys1=keys1, keys2=keys2, probs=probs,
