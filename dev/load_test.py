@@ -29,7 +29,7 @@ def percentile(xs, p):
 
 
 async def one_stream(url: str, audio: np.ndarray, realtime: bool,
-                     results: dict) -> None:
+                     results: dict, config: "dict | None" = None) -> None:
     import websockets
 
     pcm = audio.astype("<i2").tobytes()
@@ -39,6 +39,10 @@ async def one_stream(url: str, audio: np.ndarray, realtime: bool,
     async with websockets.connect(url, max_size=2**22) as ws:
         ready = json.loads(await ws.recv())
         assert ready.get("event") == "ready"
+        if config:
+            await ws.send(json.dumps(config))
+            ack = json.loads(await ws.recv())
+            assert ack.get("event") == "config", ack
 
         async def sender():
             for i in range(0, len(pcm), chunk_bytes):
@@ -49,6 +53,7 @@ async def one_stream(url: str, audio: np.ndarray, realtime: bool,
 
         send_task = asyncio.create_task(sender())
         n_phrases = 0
+        completed = False
         try:
             while True:
                 msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=60))
@@ -56,8 +61,11 @@ async def one_stream(url: str, audio: np.ndarray, realtime: bool,
                     n_phrases += 1
                     if first_transcript is None:
                         first_transcript = time.monotonic() - t_start
-        except (asyncio.TimeoutError, Exception):
-            pass
+        except asyncio.TimeoutError:
+            pass  # no clean end-of-stream: counted as not delivered
+        except Exception:
+            # server closed the socket after the final phrase = clean end
+            completed = True
         await send_task
     t_end = time.monotonic()
     audio_seconds = len(audio) / 8000
@@ -65,12 +73,18 @@ async def one_stream(url: str, audio: np.ndarray, realtime: bool,
         t_end - t_start - (audio_seconds if realtime else 0))
     results.setdefault("phrases", []).append(n_phrases)
     results.setdefault("audio_seconds", []).append(audio_seconds)
+    results.setdefault("completed", []).append(bool(completed))
     if first_transcript is not None:
         results.setdefault("first_transcript", []).append(first_transcript)
 
 
+HOTWORD_POOL = ["абонент", "договор", "тариф", "платеж", "адрес",
+                "фамилия", "паспорт", "баланс"]
+
+
 async def run_round(url: str, n_streams: int, utterance_seconds: float,
-                    realtime: bool) -> dict:
+                    realtime: bool, nbest: int = 0,
+                    hotword_streams: int = 0) -> dict:
     rng = np.random.default_rng(0)
     results: dict = {}
     t0 = time.monotonic()
@@ -81,12 +95,25 @@ async def run_round(url: str, n_streams: int, utterance_seconds: float,
         t = np.arange(n) / 8000
         audio = (8000 * np.sin(2 * np.pi * (200 + 20 * (i % 8)) * t)).astype(np.int16)
         audio[n // 3: n // 2] = 0  # mid silence -> phrase boundary
-        tasks.append(one_stream(url, audio, realtime, results))
+        config: dict = {}
+        if nbest:
+            config["nbest"] = nbest
+        if i < hotword_streams:
+            # 3 words per request, rotated per stream — the realistic
+            # per-call contact-list shape (same-size lists share one
+            # stacked-table node bucket)
+            config["hotwords"] = [HOTWORD_POOL[(i + k) % len(HOTWORD_POOL)]
+                                  for k in range(3)]
+        tasks.append(one_stream(url, audio, realtime, results,
+                                config or None))
     await asyncio.gather(*tasks)
     wall = time.monotonic() - t0
     total_audio = sum(results.get("audio_seconds", []))
     return {
         "streams": n_streams,
+        "nbest": nbest,
+        "hotword_streams": hotword_streams,
+        "delivered": len(results.get("flush_latency", [])),
         "wall_seconds": round(wall, 2),
         "aggregate_rtfx": round(total_audio / wall, 1),
         "flush_latency_p50": round(percentile(results.get("flush_latency", []), 50), 3),
@@ -97,6 +124,83 @@ async def run_round(url: str, n_streams: int, utterance_seconds: float,
     }
 
 
+def _rss_mb(pid: int) -> float:
+    with open(f"/proc/{pid}/status", encoding="ascii") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    raise RuntimeError(f"no VmRSS for pid {pid}")
+
+
+async def soak(args) -> int:
+    """Run a server subprocess under continuous stream churn for
+    ``--soak`` seconds, sampling its RSS; fail (exit 1) if memory grows.
+
+    Verdict contract: open/stream/close cycles at fixed concurrency must
+    leave the server's RSS flat — slot leaks, splitter-carry leaks, or
+    future leaks all show up as monotonic growth here."""
+    import os
+    import socket
+    import subprocess
+
+    import websockets
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    cmd = [sys.executable, "-m", "tone_tpu", "serve", "--port", str(port),
+           "--slots", str(max(args.streams)), *args.serve_args]
+    proc = subprocess.Popen(cmd, cwd=str(Path(__file__).resolve().parent.parent),
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    url = f"ws://127.0.0.1:{port}/api/ws"
+    try:
+        # tunneled-TPU warmup of a large slot count takes minutes
+        deadline = time.monotonic() + 600
+        while True:  # wait for warmup
+            try:
+                async with websockets.connect(url) as ws:
+                    json.loads(await ws.recv())
+                break
+            except Exception:
+                if proc.poll() is not None:
+                    raise RuntimeError("server died during startup")
+                if time.monotonic() > deadline:
+                    raise RuntimeError("server never became ready")
+                await asyncio.sleep(2.0)
+
+        n = max(args.streams)
+        samples: list[float] = []
+        t_end = time.monotonic() + args.soak
+        rounds = 0
+        while time.monotonic() < t_end:
+            await run_round(url, n, min(args.utterance_seconds, 3.0),
+                            realtime=False, nbest=args.nbest,
+                            hotword_streams=args.hotword_streams)
+            samples.append(_rss_mb(proc.pid))
+            rounds += 1
+            print(json.dumps({"soak_round": rounds,
+                              "rss_mb": round(samples[-1], 1)}), flush=True)
+        # Flat check: the last quarter's median must not exceed the first
+        # quarter's by more than 10% + 64 MB (allocator slack, decode-pool
+        # arenas).  Require enough rounds for the quarters to mean anything.
+        q = max(1, len(samples) // 4)
+        first, last = float(np.median(samples[:q])), float(np.median(samples[-q:]))
+        flat = last <= first * 1.10 + 64.0
+        print(json.dumps({
+            "soak_seconds": args.soak, "rounds": rounds,
+            "rss_first_mb": round(first, 1), "rss_last_mb": round(last, 1),
+            "flat": flat}), flush=True)
+        return 0 if flat else 1
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--url", default="ws://127.0.0.1:8080/api/ws")
@@ -105,12 +209,26 @@ def main() -> None:
     parser.add_argument("--rounds", type=int, default=1)
     parser.add_argument("--firehose", action="store_true",
                         help="send as fast as possible instead of real-time pace")
+    parser.add_argument("--nbest", type=int, default=0,
+                        help="per-stream n-best config frame sent at connect")
+    parser.add_argument("--hotword-streams", type=int, default=0,
+                        help="first K streams send a per-request hotword list")
+    parser.add_argument("--soak", type=float, default=0.0, metavar="SECONDS",
+                        help="spawn a server and churn streams for N seconds, "
+                             "asserting flat RSS (exit 1 on growth)")
+    parser.add_argument("--serve-args", nargs=argparse.REMAINDER, default=[],
+                        help="extra args for the spawned server (--soak only)")
     args = parser.parse_args()
+
+    if args.soak:
+        sys.exit(asyncio.run(soak(args)))
 
     for n in args.streams:
         for _ in range(args.rounds):
             report = asyncio.run(run_round(
-                args.url, n, args.utterance_seconds, realtime=not args.firehose))
+                args.url, n, args.utterance_seconds,
+                realtime=not args.firehose, nbest=args.nbest,
+                hotword_streams=args.hotword_streams))
             print(json.dumps(report))
 
 

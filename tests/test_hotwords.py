@@ -217,10 +217,11 @@ def test_engine_interim_device_beam_uses_hotword_arena():
 
 
 def test_per_request_hotwords_engine():
-    """set_stream_hotwords gives that stream a DEVICE decoder override
-    carrying the request's hotwords (sharing the engine decoder's LM),
-    while other streams keep the engine-wide decoder; results still flow
-    for both."""
+    """With a device engine decoder, set_stream_hotwords stores the
+    request's automaton TABLES on the stream (no decoder override object):
+    the biased stream stays on the batched device-finals path, its rows
+    decoding with their own stacked tables; results still flow for both
+    streams."""
     import sys
     from pathlib import Path
 
@@ -241,10 +242,10 @@ def test_per_request_hotwords_engine():
         biased = engine.open_stream()
         plain = engine.open_stream()
         engine.set_stream_hotwords(biased, ["мир"], 2.0)
-        override = engine._streams[biased].decoder
-        assert isinstance(override, DeviceBeamSearchCTCDecoder)
-        assert override.hotword_tables is not None
-        assert override.beam_width == 8
+        # Tables, not a decoder override: the stream keeps the batched path.
+        assert engine._streams[biased].decoder is None
+        assert engine._streams[biased].hotword_tables is not None
+        assert engine._streams[plain].hotword_tables is None
 
         rng = np.random.default_rng(0)
         finals = {biased: [], plain: []}
@@ -264,10 +265,11 @@ def test_per_request_hotwords_engine():
 
 
 def test_per_request_hotwords_keep_fused_lm():
-    """With a fused-LM engine decoder, the per-request override is a fused
-    DEVICE decoder sharing the same LM object — the device-resident tables
-    upload once, and the biased stream keeps full shallow-fusion quality
-    (pre-rematch behavior dropped to LM-free host decode)."""
+    """With a fused-LM engine decoder, per-request hotwords become stacked
+    table rows inside the SAME fused batched call — the biased stream keeps
+    full shallow-fusion quality AND the batched-finals path (pre-rematch
+    behavior dropped to LM-free host decode; pre-round-4 behavior dropped
+    to per-phrase device calls)."""
     import sys
     from pathlib import Path
 
@@ -291,10 +293,9 @@ def test_per_request_hotwords_keep_fused_lm():
     try:
         sid = engine.open_stream()
         engine.set_stream_hotwords(sid, ["мир"], 2.0)
-        override = engine._streams[sid].decoder
-        assert isinstance(override, DeviceBeamSearchCTCDecoder)
-        assert override.fusion and override._lm is base._lm
-        assert override.hotword_tables is not None
+        assert engine._streams[sid].decoder is None
+        assert engine._streams[sid].hotword_tables is not None
+        assert engine.decoder.fusion  # finals decode through the fused LM
 
         rng = np.random.default_rng(0)
         finals = []
@@ -338,6 +339,40 @@ def test_hotwords_reject_lone_string_and_clear():
         assert engine._streams[sid].decoder is None
     finally:
         engine.shutdown()
+
+
+def test_batched_hotword_rows_match_dedicated_decoders():
+    """One batched call with per-row stacked tables decodes each row exactly
+    as a dedicated decoder built with that row's hotwords — in both the
+    rescoring and fused-LM modes.  This is the serving path that keeps
+    hundreds of differently-biased streams on the batched finals call."""
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    from tone_tpu.decoding.device_lm import DeviceLM
+    from tone_tpu.decoding.estimate import estimate_ngram_lm
+    from tone_tpu.ops.beam_decode import make_hotword_tables
+
+    lp_a = _ambiguous("р", "г").astype(np.float32)   # 'мир' needs the boost
+    lp_b = _ambiguous("г", "р").astype(np.float32)   # 'миг' needs the boost
+    rows = [lp_a, lp_b, lp_a]
+    hw_rows = [make_hotword_tables(["мир"], 3.0),
+               make_hotword_tables(["миг"], 3.0),
+               None]
+
+    def check(base_kwargs):
+        batched = DeviceBeamSearchCTCDecoder(beam_width=8, **base_kwargs)
+        got = batched.forward_batch(rows, hotword_rows=hw_rows)
+        want = []
+        for lp, hws in zip(rows, [["мир"], ["миг"], None]):
+            dec = DeviceBeamSearchCTCDecoder(beam_width=8, hotwords=hws,
+                                             hotword_weight=3.0,
+                                             **base_kwargs)
+            want.append(dec.forward(lp))
+        assert got == want, (got, want)
+        assert got[0] == "мир" and got[1] == "миг"
+
+    check({})  # LM-free device search
+    tables = estimate_ngram_lm([["мир", "миг"], ["миг"], ["мир"]], order=2)
+    check({"lm": DeviceLM.from_ngrams(tables), "fusion": True})
 
 
 def test_ws_config_frame_sets_hotwords():

@@ -176,9 +176,9 @@ def test_engine_deployment_nbest_stays_batched():
     calls = {"batched": 0}
     real = engine.decoder.forward_batch_nbest
 
-    def counting(lps, n):
+    def counting(lps, n, hotword_rows=None):
         calls["batched"] += 1
-        return real(lps, n)
+        return real(lps, n, hotword_rows)
 
     engine.decoder.forward_batch_nbest = counting
 

@@ -363,7 +363,7 @@ class DeviceBeamSearchCTCDecoder:
             padded[row, :lp.shape[0]] = lp
         return padded, np.array(lengths + [0] * (b_pad - len(logprobs_list)))
 
-    def forward_batch(self, logprobs_list) -> list[str]:
+    def forward_batch(self, logprobs_list, hotword_rows=None) -> list[str]:
         """Decode a list of (L_i, vocab+1) phrases on device.
 
         Phrases are grouped by frame-count bucket (64·2^k) and each group
@@ -373,12 +373,21 @@ class DeviceBeamSearchCTCDecoder:
         to powers of two (with a ``batch_floor``) so XLA compiles one
         program per bucket, not per shape — the same policy as
         OfflineTranscriber's acoustic batching.
+
+        ``hotword_rows`` (optional, aligned with ``logprobs_list``): a
+        per-phrase ``HotwordTables`` or None — rows with tables run their
+        OWN contextual biasing inside the same batched call (stacked
+        tables, ops/beam_decode.stack_hotword_tables); None rows fall back
+        to the decoder's own hotwords, or no biasing.  This is how the
+        serving engine keeps per-request-biased streams on the batched
+        finals path.
         """
         return [r[0][0] if r else ""
-                for r in self.forward_batch_nbest(logprobs_list, 1)]
+                for r in self.forward_batch_nbest(logprobs_list, 1,
+                                                  hotword_rows)]
 
-    def forward_batch_nbest(self, logprobs_list,
-                            n: int) -> list[list[tuple[str, float]]]:
+    def forward_batch_nbest(self, logprobs_list, n: int,
+                            hotword_rows=None) -> list[list[tuple[str, float]]]:
         """Batched n-best: per phrase, up to ``n`` ranked (text, score)
         alternatives, best first, stripped-text duplicates collapsed.
 
@@ -399,14 +408,18 @@ class DeviceBeamSearchCTCDecoder:
             cap = self.max_batch or len(idxs)
             for k in range(0, len(idxs), cap):
                 chunk = idxs[k:k + cap]
+                rows = ([hotword_rows[i] for i in chunk]
+                        if hotword_rows is not None else None)
+                if rows is not None and not any(r is not None for r in rows):
+                    rows = None
                 ranked = self._decode_bucket(
-                    [logprobs_list[i] for i in chunk], t_pad, n)
+                    [logprobs_list[i] for i in chunk], t_pad, n, rows)
                 for i, hyps in zip(chunk, ranked):
                     out[i] = hyps
         return out
 
-    def _decode_bucket(self, logprobs_list, t_pad,
-                       n: int = 1) -> list[list[tuple[str, float]]]:
+    def _decode_bucket(self, logprobs_list, t_pad, n: int = 1,
+                       hotword_rows=None) -> list[list[tuple[str, float]]]:
         """One padded device call; per row up to ``n`` deduplicated ranked
         hypotheses.  The rescoring pool is the full ``max(n, nbest_hyps)``
         readout and truncation happens after ranking, so the top-1 of any
@@ -415,30 +428,41 @@ class DeviceBeamSearchCTCDecoder:
         pool = max(n, self.nbest_hyps)
         padded, lengths = self._pad_batch(logprobs_list, t_pad)
 
+        hotwords = self._hotwords
+        if hotword_rows is not None:
+            from tone_tpu.ops.beam_decode import stack_hotword_tables
+
+            # Per-row biasing: rows without their own tables inherit the
+            # decoder-wide hotwords (or the dead automaton = unbiased).
+            hotwords = stack_hotword_tables(
+                [r if r is not None else self._hotwords
+                 for r in hotword_rows],
+                n_rows=padded.shape[0])
+
         if self.fusion:
             from tone_tpu.ops.beam_decode import (
                 fused_beam_advance, fused_beam_nbest, init_fused_beam_state)
 
             state = init_fused_beam_state(padded.shape[0], self.beam_width,
                                           self._lm, self.max_len,
-                                          hotwords=self._hotwords)
+                                          hotwords=hotwords)
             state = fused_beam_advance(state, padded, self._lm_arrays,
                                        lengths, alpha=self.alpha,
                                        beta=self.beta,
-                                       hotwords=self._hotwords)
+                                       hotwords=hotwords)
             ranked_rows = fused_beam_nbest(state, self._lm, pool,
                                            alpha=self.alpha, beta=self.beta)
         else:
             from tone_tpu.decoding.rescore import rescore_nbest
 
-            if self._hotwords is not None:
+            if hotwords is not None:
                 from tone_tpu.ops.beam_decode import (
                     hot_beam_advance, hot_beam_nbest, init_hot_beam_state)
 
                 state = init_hot_beam_state(padded.shape[0], self.beam_width,
                                             self.max_len)
                 state = hot_beam_advance(state, padded, lengths,
-                                         hotwords=self._hotwords)
+                                         hotwords=hotwords)
                 hyps_rows = hot_beam_nbest(state, pool)
             else:
                 from tone_tpu.ops.beam_decode import (

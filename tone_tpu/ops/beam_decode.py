@@ -104,9 +104,17 @@ def _hw_expand(hw, hw_node, hw_tent, hw_bias, is_space, lead_space):
     (node, tentative, bias) of shape (B, W, V-1)."""
     parked = (hw_node < 0)[:, :, None]                       # (B, W, 1)
     safe = jnp.clip(hw_node, 0, None)
-    nxt = jnp.take(hw.next_node, safe, axis=0)               # (B, W, n_char)
-    tnt = jnp.take(hw.tent_after, safe, axis=0)
-    dlt = jnp.take(hw.delta, safe, axis=0)
+    if hw.next_node.ndim == 3:
+        # PER-ROW tables (B, n_nodes, n_char): each batch row runs its own
+        # automaton — one device call serves many differently-biased
+        # streams (stack_hotword_tables).  take_along_axis broadcasts the
+        # (B, W, 1) node indices against the char axis.
+        take = lambda t: jnp.take_along_axis(t, safe[:, :, None], axis=1)
+        nxt, tnt, dlt = take(hw.next_node), take(hw.tent_after), take(hw.delta)
+    else:
+        nxt = jnp.take(hw.next_node, safe, axis=0)           # (B, W, n_char)
+        tnt = jnp.take(hw.tent_after, safe, axis=0)
+        dlt = jnp.take(hw.delta, safe, axis=0)
     t3 = hw_tent[:, :, None]
     node3 = hw_node[:, :, None]
     # parked: stay mid-word; a space rearms at the root
@@ -450,17 +458,25 @@ class HotwordTables(NamedTuple):
     weight: jnp.ndarray      # () f32 boost per matching character
 
 
-def make_hotword_tables(phrases, weight: float = 10.0) -> HotwordTables:
+def make_hotword_tables(phrases, weight: float = 10.0,
+                        pad_nodes: int | None = None) -> HotwordTables:
     """Build device tables from words/phrases (host-side, once per list):
     every (node, char) transition is one HotwordScorer.step simulation —
     sound because a reachable active node's tentative is always the
-    scorer's precomputed per-node value (hotwords.py invariant)."""
+    scorer's precomputed per-node value (hotwords.py invariant).
+    ``pad_nodes`` pads the node axis to a given count (>= the natural
+    power-of-two pad) so differently-sized lists can share one stacked
+    device program (:func:`stack_hotword_tables`)."""
     from tone_tpu.decoding.hotwords import HotwordScorer
 
     scorer = HotwordScorer(phrases, weight)
     n_char = len(LABELS)
     n_nodes = len(scorer._children)
     padded = 1 << (n_nodes - 1).bit_length() if n_nodes > 1 else 1
+    if pad_nodes is not None:
+        if pad_nodes < n_nodes:
+            raise ValueError(f"pad_nodes={pad_nodes} < {n_nodes} trie nodes")
+        padded = pad_nodes
     next_node = np.full((padded, n_char), -1, np.int32)
     tent_after = np.zeros((padded, n_char), np.float32)
     delta = np.zeros((padded, n_char), np.float32)
@@ -476,6 +492,37 @@ def make_hotword_tables(phrases, weight: float = 10.0) -> HotwordTables:
             delta[node, cid] = d
     return HotwordTables(jnp.asarray(next_node), jnp.asarray(tent_after),
                          jnp.asarray(delta), jnp.float32(weight))
+
+
+def stack_hotword_tables(rows: "list[HotwordTables | None]",
+                         n_rows: int | None = None) -> HotwordTables:
+    """Stack per-row tables into batched (B, n_nodes, n_char) tables so ONE
+    device call decodes rows with DIFFERENT hotword lists (the serving
+    engine's batched-finals path for per-request biasing).
+
+    Rows are padded on the node axis to the power-of-two maximum across the
+    batch, and ``None`` rows get the dead automaton (every transition
+    parks, so their bias is identically zero — an unbiased search).
+    ``n_rows`` pads the batch axis (extra rows are dead).  The node count
+    is what keys the compiled program, so same-sized request lists share
+    programs across ticks."""
+    n_char = len(LABELS)
+    n_nodes = max((int(r.next_node.shape[0]) for r in rows
+                   if r is not None), default=1)
+    n_nodes = 1 << (n_nodes - 1).bit_length() if n_nodes > 1 else 1
+    b = max(n_rows or 0, len(rows))
+    next_node = np.full((b, n_nodes, n_char), -1, np.int32)
+    tent_after = np.zeros((b, n_nodes, n_char), np.float32)
+    delta = np.zeros((b, n_nodes, n_char), np.float32)
+    for i, r in enumerate(rows):
+        if r is None:
+            continue
+        n = int(r.next_node.shape[0])
+        next_node[i, :n] = np.asarray(r.next_node)
+        tent_after[i, :n] = np.asarray(r.tent_after)
+        delta[i, :n] = np.asarray(r.delta)
+    return HotwordTables(jnp.asarray(next_node), jnp.asarray(tent_after),
+                         jnp.asarray(delta), jnp.float32(0.0))
 
 
 class HotBeamState(NamedTuple):

@@ -55,6 +55,11 @@ class _Stream:
     decoder: object = None          # per-stream override (request hotwords)
     hotwords: tuple | None = None   # (words, weight) behind the override —
     # plain data so suspend/resume can carry the biasing across engines
+    # Device hotword automaton tables (ops.beam_decode.HotwordTables):
+    # set instead of ``decoder`` when the engine decoder is a device
+    # decoder, so the stream's finals STAY on the batched device call
+    # (stacked per-row tables) instead of per-phrase decodes.
+    hotword_tables: object = None
     nbest: int = 0                  # >1: finals carry n-best alternatives
     ticks: int = 0                  # completed ticks (suspend's torn-read guard)
 
@@ -228,6 +233,9 @@ class MultiStreamEngine:
                                                thread_name_prefix="ctc-decode")
         self._finished_since_poll: list[int] = []
         self._evicted_since_poll: list[int] = []
+        # hotword-table node buckets whose stacked-program ladder was (or is
+        # being) warmed — repeat request sizes skip straight to serving
+        self._warmed_hotword_buckets: set[int] = set()
         self.last_interims: dict[int, str] = {}
         self.stats = EngineStats()
 
@@ -298,7 +306,7 @@ class MultiStreamEngine:
         (back to the engine-wide decoder).
         """
         override = None
-        warm_device_override = False
+        tables = None
         if hotwords:
             from tone_tpu.decoder import (BeamSearchCTCDecoder,
                                           DeviceBeamSearchCTCDecoder)
@@ -306,23 +314,21 @@ class MultiStreamEngine:
 
             base = self.decoder
             if isinstance(base, DeviceBeamSearchCTCDecoder):
-                override = DeviceBeamSearchCTCDecoder(
-                    base._lm, alpha=base.alpha, beta=base.beta,
-                    beam_width=base.beam_width, nbest=base.nbest_hyps,
-                    max_len=base.max_len, fusion=base.fusion,
-                    hotwords=hotwords, hotword_weight=hotword_weight)
-                # Keep the engine's serving batch buckets so the override's
-                # decode shapes stay in the warmed family (they default to
-                # batch 1, a shape no warmup ever compiled)...
-                override.batch_floor = base.batch_floor
-                override.max_batch = base.max_batch
-                # ...and front-load the remaining compiles (new hotword-table
-                # shapes mean new programs; with fusion that can be minutes)
-                # on the decode pool NOW, overlapping the stream's early
-                # audio, instead of stalling its first final phrase.  The
-                # persistent compile cache (export.enable_compilation_cache)
-                # makes repeat node-count buckets free across requests.
-                warm_device_override = True
+                # Device decoder: the bias is pure DATA — automaton tables
+                # stacked per row into the engine's batched finals call
+                # (decoder.forward_batch(hotword_rows=...)), so biased
+                # streams keep the batched-throughput path; no per-stream
+                # decoder object exists at all.  Warm the stacked program
+                # family for this table's node bucket NOW on the decode
+                # pool (new node-count buckets mean new programs; with
+                # fusion that can be minutes), overlapping the stream's
+                # early audio instead of stalling its first final phrase.
+                # The persistent compile cache (export.
+                # enable_compilation_cache) makes repeat node-count buckets
+                # free across requests.
+                from tone_tpu.ops.beam_decode import make_hotword_tables
+
+                tables = make_hotword_tables(hotwords, hotword_weight)
             else:
                 lm = getattr(base, "_lm", None)
                 host_lm = lm if isinstance(lm, LanguageModel) else None
@@ -338,6 +344,7 @@ class MultiStreamEngine:
             if stream is None:
                 raise UnknownStreamError(f"unknown stream {sid}")
             stream.decoder = override  # None clears an earlier override
+            stream.hotword_tables = tables
             stream.hotwords = ((tuple(hotwords), float(hotword_weight))
                                if hotwords else None)
             # carried interim search rebuilds (biased or not); bump the
@@ -346,8 +353,19 @@ class MultiStreamEngine:
             stream.beam_gen += 1
             stream.beam_reset = True
             stream.beam_frames.clear()
-        if warm_device_override:
-            self._decode_pool.submit(self._warm_override, sid, override)
+        if tables is not None:
+            # One warm per node bucket: the stacked program is keyed by the
+            # (power-of-two) node count, so the Nth same-sized request list
+            # has nothing left to compile — re-warming anyway was measured
+            # at 128 firehose streams / 32 biased to stretch flush p99 from
+            # ~2.3 s to ~16 s purely in redundant pool+device round trips.
+            bucket = int(tables.next_node.shape[0])
+            with self._lock:
+                fresh = bucket not in self._warmed_hotword_buckets
+                self._warmed_hotword_buckets.add(bucket)
+            if fresh:
+                self._decode_pool.submit(self._warm_hotword_bucket, sid,
+                                         tables)
 
     MAX_NBEST = 32
 
@@ -587,14 +605,19 @@ class MultiStreamEngine:
                 phrases = by_slot.get(stream.slot)
                 if phrases and self.device_finals and stream.decoder is None \
                         and (not stream.nbest or self.device_nbest):
+                    # The batched path carries per-request hotword biasing
+                    # as stacked per-row tables — biased streams do NOT
+                    # drop to per-phrase decodes (docs/serving.md's
+                    # measured ceiling).
                     futs = [Future() for _ in phrases]
                     batch_finals.extend(
-                        (f, p, stream.nbest) for f, p in zip(futs, phrases))
+                        (f, p, stream.nbest, stream.hotword_tables)
+                        for f, p in zip(futs, phrases))
                     results[sid] = futs
                 elif phrases:
-                    # per-stream decoder overrides (request hotwords), and
-                    # n-best under a host-only decoder, decode per-phrase on
-                    # the pool alongside the host-decoder default
+                    # host-decoder overrides (request hotwords on a host
+                    # engine decoder), and n-best under a host-only decoder,
+                    # decode per-phrase on the pool
                     results[sid] = [
                         self._decode_pool.submit(self._decode, p,
                                                  stream.decoder, stream.nbest)
@@ -714,11 +737,13 @@ class MultiStreamEngine:
             np.asarray(top(state)[0])
             self._device_beams = state
 
-    def _warm_decode_buckets(self, decoder, live=None) -> None:
+    def _warm_decode_buckets(self, decoder, live=None, hotwords=None) -> None:
         """Compile a decoder's full (batch-bucket, frame-bucket) program
         ladder — the splitter force-splits phrases, so the frame-bucket set
-        is closed.  ``live``: optional early-out predicate (override warms
-        stop when their stream is gone)."""
+        is closed.  ``live``: optional early-out predicate (hotword warms
+        stop when their stream is gone).  ``hotwords``: a HotwordTables —
+        warm the stacked per-row-biased program family for its node bucket
+        instead of the plain one."""
         from tone_tpu.splitter import StreamingLogprobSplitter as _S
 
         max_frames = _S.MAX_PHRASE_DURATION + 2 * _S.SPEECH_EXPAND_SIZE
@@ -728,21 +753,21 @@ class MultiStreamEngine:
             if live is not None and not live():
                 return
             frames = min(t, max_frames)
-            decoder.forward_batch([np.full((frames, v), -3.5, np.float32)])
+            decoder.forward_batch(
+                [np.full((frames, v), -3.5, np.float32)],
+                hotword_rows=[hotwords] if hotwords is not None else None)
             if t >= max_frames:
                 break
             t <<= 1
 
-    def _warm_override(self, sid: int, override) -> None:
-        """Pool task: pre-compile a per-request device decoder's programs
-        so the stream's first final phrase doesn't pay them inline."""
-        def live() -> bool:
-            with self._lock:
-                stream = self._streams.get(sid)
-                return stream is not None and stream.decoder is override
-
+    def _warm_hotword_bucket(self, sid: int, tables) -> None:
+        """Pool task: pre-compile the batched-finals programs for a
+        request's hotword-table node bucket so the stream's first final
+        phrase doesn't pay them inline.  The bucket is shared
+        infrastructure (later same-sized requests skip the warm), so it
+        runs to completion even if the requesting stream ends early."""
         try:
-            self._warm_decode_buckets(override, live=live)
+            self._warm_decode_buckets(self.decoder, hotwords=tables)
         except Exception:  # noqa: BLE001 — warm is best-effort; real decodes
             pass           # surface their own errors through phrase futures
 
@@ -882,7 +907,9 @@ class MultiStreamEngine:
                           words=self._word_times(logprob_phrase, text),
                           nbest=alternatives)
 
-    def _decode_batch(self, items: list[tuple[Future, object, int]]) -> None:
+    def _decode_batch(
+            self,
+            items: list[tuple[Future, object, int, object]]) -> None:
         """Decode a tick's completed phrases in one batched device call,
         resolving each phrase's future (device_finals path).
 
@@ -893,21 +920,32 @@ class MultiStreamEngine:
         already-transferred beam state), so deployment-wide ``--nbest``
         keeps the batched-finals throughput instead of regressing to
         per-phrase host-pool decodes (docs/serving.md's measured ceiling).
+
+        Mixed per-request hotword biasing rides the same call too: each
+        item's HotwordTables (or None) becomes a row of the stacked-table
+        program (decoder.forward_batch(hotword_rows=...)); the node count
+        keys the compiled program and set_stream_hotwords pre-warms each
+        request's bucket.
         """
-        max_n = max((n for _, _, n in items), default=0)
+        max_n = max((n for _, _, n, _ in items), default=0)
+        hotword_rows = [hw for _, _, _, hw in items]
+        if not any(hw is not None for hw in hotword_rows):
+            hotword_rows = None
         try:
-            lps = [np.ascontiguousarray(p.logprobs) for _, p, _ in items]
+            lps = [np.ascontiguousarray(p.logprobs) for _, p, _, _ in items]
             if max_n > 1:
-                ranked_rows = self.decoder.forward_batch_nbest(lps, max_n)
+                ranked_rows = self.decoder.forward_batch_nbest(
+                    lps, max_n, hotword_rows)
                 texts = [r[0][0] if r else "" for r in ranked_rows]
             else:
-                texts = self.decoder.forward_batch(lps)
+                texts = self.decoder.forward_batch(lps, hotword_rows)
                 ranked_rows = [None] * len(items)
         except BaseException as e:  # noqa: BLE001 — futures must resolve
-            for fut, _, _ in items:
+            for fut, _, _, _ in items:
                 fut.set_exception(e)
             return
-        for (fut, phrase, n), text, ranked in zip(items, texts, ranked_rows):
+        for (fut, phrase, n, _), text, ranked in zip(items, texts,
+                                                     ranked_rows):
             start, end = self._phrase_times(phrase)
             self.stats.phrases_decoded += 1
             alternatives = tuple(ranked[:n]) if ranked and n > 1 else None
@@ -943,6 +981,11 @@ class MultiStreamEngine:
             return
         if stream.slot is not None:
             self._free_slots.append(stream.slot)
+            # Hand the slot straight to the oldest waiting candidate instead
+            # of leaving it idle until the next tick/open (found by the
+            # lifecycle fuzz: a freed slot could sit free a whole tick
+            # period while candidates queued).
+            self._bind_candidates_locked()
         else:
             # a candidate: leave no ghost in the bind queue (stats and
             # queue-capacity checks count it otherwise)
