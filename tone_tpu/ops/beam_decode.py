@@ -444,18 +444,24 @@ def top_texts(tokens, lens) -> list[str]:
 
 
 class HotwordTables(NamedTuple):
-    """Dense automaton step tables (device arrays): for an active node n and
-    emitted char c, row gathers give the full transition — next node (-1 =
-    park), the tentative boost AT the new node, and the score delta (with
+    """Dense automaton step tables: for an active node n and emitted char
+    c, row gathers give the full transition — next node (-1 = park), the
+    tentative boost AT the new node, and the score delta (with
     word-boundary commits, retractions, and Aho–Corasick word-aligned
     suffix rematches all folded in at build time).  Node 0 is the root;
     node count is padded to a power of two so changing the phrase list
-    rarely recompiles."""
+    rarely recompiles.
 
-    next_node: jnp.ndarray   # (n_nodes, n_char) int32, -1 = parked
-    tent_after: jnp.ndarray  # (n_nodes, n_char) f32 tentative at next_node
-    delta: jnp.ndarray       # (n_nodes, n_char) f32 score delta
-    weight: jnp.ndarray      # () f32 boost per matching character
+    Held as NUMPY arrays: they are KB-sized jit arguments (the per-call
+    upload is noise), and keeping them host-side makes per-row stacking
+    (:func:`stack_hotword_tables`) pure host work — device-resident rows
+    would cost blocking device→host pulls per stacked call, which over a
+    tunneled dev chip measurably dominated biased-serving latency."""
+
+    next_node: "np.ndarray"   # (n_nodes, n_char) int32, -1 = parked
+    tent_after: "np.ndarray"  # (n_nodes, n_char) f32 tentative at next_node
+    delta: "np.ndarray"       # (n_nodes, n_char) f32 score delta
+    weight: "np.ndarray"      # () f32 boost per matching character
 
 
 def make_hotword_tables(phrases, weight: float = 10.0,
@@ -490,8 +496,8 @@ def make_hotword_tables(phrases, weight: float = 10.0,
             next_node[node, cid] = nxt
             tent_after[node, cid] = t_new
             delta[node, cid] = d
-    return HotwordTables(jnp.asarray(next_node), jnp.asarray(tent_after),
-                         jnp.asarray(delta), jnp.float32(weight))
+    return HotwordTables(next_node, tent_after, delta,
+                         np.float32(weight))
 
 
 def stack_hotword_tables(rows: "list[HotwordTables | None]",
@@ -518,11 +524,12 @@ def stack_hotword_tables(rows: "list[HotwordTables | None]",
         if r is None:
             continue
         n = int(r.next_node.shape[0])
+        # np.asarray is a no-op for freshly-built numpy tables and a
+        # one-time pull for any caller still holding device arrays
         next_node[i, :n] = np.asarray(r.next_node)
         tent_after[i, :n] = np.asarray(r.tent_after)
         delta[i, :n] = np.asarray(r.delta)
-    return HotwordTables(jnp.asarray(next_node), jnp.asarray(tent_after),
-                         jnp.asarray(delta), jnp.float32(0.0))
+    return HotwordTables(next_node, tent_after, delta, np.float32(0.0))
 
 
 class HotBeamState(NamedTuple):
