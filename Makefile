@@ -1,12 +1,13 @@
-.PHONY: test test-fast lint lint-full bench serve
+.PHONY: test test-fast lint lint-full bench serve clean
 
 # Full suite (incl. full-71M-model jit compiles + golden parity): ~30 min.
-# 290 tests collected (keep this in sync with `pytest --collect-only -q`).
+# (Counts are deliberately not written here — hand-synced numbers drifted
+# twice; tests/test_docs.py fails the build if one is reintroduced.)
 test:
 	python -m pytest tests/ -q
 
 # Inner loop: heavy compiles / e2e / golden-parity tests are marked `slow`.
-# 245 tests, ~15 min measured on the dev host.
+# ~15 min measured on the 1-core dev host.
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
@@ -27,3 +28,10 @@ bench:
 
 serve:
 	python -m tone_tpu serve
+
+# Build residue poisons future wheels (setuptools reuses stale build/lib
+# contents) and double-counts the package in line counts — keep it out.
+clean:
+	rm -rf build/ tone_tpu.egg-info/ dist/
+	find . -name __pycache__ -type d -prune -exec rm -rf {} +
+	find . -name '*.pyc' -delete

@@ -21,6 +21,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 @pytest.fixture(scope="module")
 def wheel(tmp_path_factory):
+    # The prebuilt native libraries are deliberately NOT tracked in git
+    # (.gitignore: *.so) — build them here so a wheel from a fresh clone
+    # still ships working binaries, not just their sources.
+    from tone_tpu.decoding.native import build_native as build_decode
+    from tone_tpu.decoding.native.estimate import build_native as build_estimate
+
+    assert build_decode(), "g++ build of libtone_decode.so failed"
+    assert build_estimate(), "g++ build of libtone_estimate.so failed"
     out = tmp_path_factory.mktemp("wheel")
     subprocess.run(
         [sys.executable, "-m", "pip", "wheel", "--no-deps",
@@ -58,10 +66,12 @@ def _run_installed(installed: Path, code: str, tmp: Path, **env_extra) -> str:
 def test_wheel_carries_data_files(wheel):
     names = zipfile.ZipFile(wheel).namelist()
     for probe in (
+        "tone_tpu/py.typed",  # typing marker, like the reference's tone/py.typed
         "tone_tpu/runtime/static/index.html",
         "tone_tpu/decoding/native/src/tone_decode.cpp",
         "tone_tpu/decoding/native/src/tone_estimate.cpp",
         "tone_tpu/decoding/native/src/libtone_decode.so",
+        "tone_tpu/decoding/native/src/libtone_estimate.so",
     ):
         assert probe in names, f"{probe} missing from wheel ({len(names)} files)"
 

@@ -246,6 +246,32 @@ def test_tick_failure_persistent_flips_health_and_closes_clients():
     asyncio.run(main())
 
 
+def test_metrics_expose_process_rss():
+    """tone_process_rss_bytes makes the documented tunneled-backend RSS
+    growth (docs/serving.md soak section) monitorable in deployments."""
+    from tone_tpu.runtime.metrics import _process_rss_bytes, render_metrics
+
+    rss = _process_rss_bytes()
+    assert rss > 10 * 1024 * 1024  # a live CPython+jax process is >10 MB
+
+    class _Stats:  # render_metrics only reads .stats and .arena.n_slots
+        ticks = chunks_processed = phrases_decoded = 0
+        active_streams = pending_streams = 0
+        last_tick_seconds = 0.0
+
+    class _Arena:
+        n_slots = 4
+
+    class _Engine:
+        stats = _Stats()
+        arena = _Arena()
+
+    body = render_metrics(_Engine())
+    line = [ln for ln in body.splitlines()
+            if ln.startswith("tone_process_rss_bytes ")]
+    assert line and int(line[0].split()[1]) > 10 * 1024 * 1024
+
+
 def test_health_state_warmup_and_staleness():
     """HealthState unit semantics: 503 before warmup, 200 after a good tick,
     503 once the beat goes stale."""

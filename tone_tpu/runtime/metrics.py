@@ -10,6 +10,7 @@ the loop died or stopped beating.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -69,6 +70,24 @@ class HealthState:
         return 200, "ok\n"
 
 
+def _process_rss_bytes() -> int:
+    """Resident set size via /proc/self/statm (no psutil dependency).
+
+    Exposed so the documented slow RSS growth over a TUNNELED dev-TPU
+    backend (docs/serving.md soak section: ~1.2 MB per bench round,
+    reproduced by a bare jax.jit loop — upstream of this framework) is
+    monitorable in any deployment instead of only in a local soak run.
+    Returns 0 on platforms without procfs.
+    """
+    try:
+        with open("/proc/self/statm", encoding="ascii") as f:
+            pages = int(f.read().split()[1])
+        return pages * (os.sysconf("SC_PAGE_SIZE") if hasattr(os, "sysconf")
+                        else 4096)
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 def render_metrics(engine, health: HealthState | None = None) -> str:
     s = engine.stats
     lines = [
@@ -93,6 +112,11 @@ def render_metrics(engine, health: HealthState | None = None) -> str:
         "# HELP tone_last_tick_seconds Wall time of the last tick.",
         "# TYPE tone_last_tick_seconds gauge",
         f"tone_last_tick_seconds {s.last_tick_seconds:.6f}",
+        "# HELP tone_process_rss_bytes Resident set size of the serving "
+        "process (watch for the tunneled-backend growth documented in "
+        "docs/serving.md).",
+        "# TYPE tone_process_rss_bytes gauge",
+        f"tone_process_rss_bytes {_process_rss_bytes()}",
     ]
     if health is not None:
         lines += [
