@@ -132,6 +132,43 @@ def _rss_mb(pid: int) -> float:
     raise RuntimeError(f"no VmRSS for pid {pid}")
 
 
+def _spawn_server(args, extra: "list[str] | None" = None):
+    """Launch ``python -m tone_tpu serve`` on a free port; returns
+    (process, url).  Shared by --soak and --shutdown-mid-load."""
+    import socket
+    import subprocess
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    cmd = [sys.executable, "-m", "tone_tpu", "serve", "--port", str(port),
+           "--slots", str(max(args.streams)), *(extra or []), *args.serve_args]
+    proc = subprocess.Popen(cmd, cwd=str(Path(__file__).resolve().parent.parent),
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    return proc, f"ws://127.0.0.1:{port}/api/ws"
+
+
+async def _wait_ready(proc, url: str, timeout: float = 600.0) -> None:
+    """Poll until the spawned server accepts a websocket (tunneled-TPU
+    warmup of a large slot count takes minutes)."""
+    import websockets
+
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            async with websockets.connect(url) as ws:
+                json.loads(await ws.recv())
+            return
+        except Exception:
+            if proc.poll() is not None:
+                raise RuntimeError("server died during startup")
+            if time.monotonic() > deadline:
+                raise RuntimeError("server never became ready")
+            await asyncio.sleep(2.0)
+
+
 async def soak(args) -> int:
     """Run a server subprocess under continuous stream churn for
     ``--soak`` seconds, sampling its RSS; fail (exit 1) if memory grows.
@@ -139,36 +176,11 @@ async def soak(args) -> int:
     Verdict contract: open/stream/close cycles at fixed concurrency must
     leave the server's RSS flat — slot leaks, splitter-carry leaks, or
     future leaks all show up as monotonic growth here."""
-    import os
-    import socket
     import subprocess
 
-    import websockets
-
-    sock = socket.socket()
-    sock.bind(("127.0.0.1", 0))
-    port = sock.getsockname()[1]
-    sock.close()
-    cmd = [sys.executable, "-m", "tone_tpu", "serve", "--port", str(port),
-           "--slots", str(max(args.streams)), *args.serve_args]
-    proc = subprocess.Popen(cmd, cwd=str(Path(__file__).resolve().parent.parent),
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    url = f"ws://127.0.0.1:{port}/api/ws"
+    proc, url = _spawn_server(args)
     try:
-        # tunneled-TPU warmup of a large slot count takes minutes
-        deadline = time.monotonic() + 600
-        while True:  # wait for warmup
-            try:
-                async with websockets.connect(url) as ws:
-                    json.loads(await ws.recv())
-                break
-            except Exception:
-                if proc.poll() is not None:
-                    raise RuntimeError("server died during startup")
-                if time.monotonic() > deadline:
-                    raise RuntimeError("server never became ready")
-                await asyncio.sleep(2.0)
+        await _wait_ready(proc, url)
 
         n = max(args.streams)
         samples: list[float] = []
@@ -201,6 +213,104 @@ async def soak(args) -> int:
             proc.kill()
 
 
+async def _shutdown_client(url: str, audio: np.ndarray, out: list) -> None:
+    """Stream audio in real time and NEVER send the end-of-stream frame —
+    the server's drain must finalize for us.  Records the transcripts
+    delivered and the close code received."""
+    import websockets
+
+    pcm = audio.astype("<i2").tobytes()
+    chunk_bytes = 2400 * 2
+    record = {"transcripts": 0, "close_code": None}
+    out.append(record)
+    try:
+        async with websockets.connect(url, max_size=2**22) as ws:
+            ready = json.loads(await ws.recv())
+            assert ready.get("event") == "ready"
+
+            async def sender():
+                try:
+                    for i in range(0, len(pcm), chunk_bytes):
+                        await ws.send(pcm[i:i + chunk_bytes])
+                        await asyncio.sleep(0.3)
+                except websockets.ConnectionClosed:
+                    pass  # drain closed us mid-send: expected
+
+            send_task = asyncio.create_task(sender())
+            try:
+                while True:
+                    msg = json.loads(
+                        await asyncio.wait_for(ws.recv(), timeout=120))
+                    if msg.get("event") == "transcript":
+                        record["transcripts"] += 1
+            except websockets.ConnectionClosed as e:
+                record["close_code"] = e.rcvd.code if e.rcvd else None
+            finally:
+                send_task.cancel()
+    except Exception as e:  # noqa: BLE001 — a failed stream is a reported row
+        record["error"] = repr(e)
+
+
+async def shutdown_mid_load(args) -> int:
+    """--shutdown-mid-load: spawn a server, put N realtime streams on it,
+    SIGTERM it mid-stream, and assert every client received its flushed
+    transcript plus the 4503 shutdown close before the process exited
+    (graceful-drain contract of tone_tpu.runtime.server.serve)."""
+    import os
+    import signal
+    import subprocess
+
+    grace = 30.0
+    proc, url = _spawn_server(args, extra=["--drain-grace", str(grace)])
+    try:
+        await _wait_ready(proc, url)
+        n = max(args.streams)
+        rng = np.random.default_rng(0)
+        records: list = []
+        secs = args.utterance_seconds
+        t = np.arange(int(secs * 8000)) / 8000
+        tasks = [
+            asyncio.create_task(_shutdown_client(
+                url,
+                (8000 * np.sin(2 * np.pi * (200 + 20 * (i % 8)) * t)
+                 ).astype(np.int16),
+                records))
+            for i in range(n)]
+        # SIGTERM mid-load: every stream has audio buffered, none has sent
+        # its end-of-stream frame.
+        await asyncio.sleep(max(1.0, secs / 2))
+        t_sig = time.monotonic()
+        os.kill(proc.pid, signal.SIGTERM)
+        await asyncio.gather(*tasks)
+        try:
+            proc.wait(timeout=grace + 30)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"error": "server did not exit after drain"}))
+            return 1
+        exit_latency = time.monotonic() - t_sig
+        flushed = sum(1 for r in records if r["transcripts"] > 0)
+        clean = sum(1 for r in records if r["close_code"] == 4503)
+        report = {
+            "shutdown_mid_load": True,
+            "streams": n,
+            "flushed": flushed,
+            "closed_4503": clean,
+            "close_codes": sorted({r["close_code"] for r in records},
+                                  key=str),
+            "exit_after_signal_s": round(exit_latency, 2),
+            "ok": flushed == n and clean == n,
+        }
+        print(json.dumps(report), flush=True)
+        return 0 if report["ok"] else 1
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--url", default="ws://127.0.0.1:8080/api/ws")
@@ -216,12 +326,18 @@ def main() -> None:
     parser.add_argument("--soak", type=float, default=0.0, metavar="SECONDS",
                         help="spawn a server and churn streams for N seconds, "
                              "asserting flat RSS (exit 1 on growth)")
+    parser.add_argument("--shutdown-mid-load", action="store_true",
+                        help="spawn a server, SIGTERM it under live streams, "
+                             "and assert every client got its full transcript "
+                             "+ a 4503 close before exit (exit 1 otherwise)")
     parser.add_argument("--serve-args", nargs=argparse.REMAINDER, default=[],
                         help="extra args for the spawned server (--soak only)")
     args = parser.parse_args()
 
     if args.soak:
         sys.exit(asyncio.run(soak(args)))
+    if args.shutdown_mid_load:
+        sys.exit(asyncio.run(shutdown_mid_load(args)))
 
     for n in args.streams:
         for _ in range(args.rounds):

@@ -246,6 +246,98 @@ def test_tick_failure_persistent_flips_health_and_closes_clients():
     asyncio.run(main())
 
 
+def test_drain_flushes_live_stream_before_close():
+    """Graceful shutdown: begin_drain() mid-stream -> the client receives
+    the FULL transcript of its buffered audio, then the socket closes with
+    4503; readiness turns 503; new connections are refused with 1013."""
+    cfg, variables = _tiny_setup()
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=2)
+        server = TranscriptionServer(engine, tick_seconds=0.02)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws:
+                port = ws.sockets[0].getsockname()[1]
+                client = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                assert json.loads(await client.recv())["event"] == "ready"
+                rng = np.random.default_rng(0)
+                audio = rng.integers(-20000, 20000, 2400 * 4).astype("<i2")
+                await client.send(audio.tobytes())
+                # Mid-stream (no end-of-stream frame sent), the operator
+                # starts a graceful shutdown.
+                server.begin_drain()
+                assert server.draining
+                code, body = server.health.status()
+                assert code == 503 and "draining" in body
+                # The live stream still flushes: transcripts arrive, then
+                # the distinct shutdown close code.
+                transcripts = []
+                with pytest.raises(websockets.ConnectionClosed) as err:
+                    while True:
+                        msg = json.loads(
+                            await asyncio.wait_for(client.recv(), timeout=30))
+                        if msg["event"] == "transcript":
+                            transcripts.append(msg["text"])
+                assert err.value.rcvd.code == 4503
+                assert transcripts, "drain dropped the buffered audio"
+                # New connections are refused with 1013 (retry elsewhere).
+                late = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                with pytest.raises(websockets.ConnectionClosed) as err:
+                    await asyncio.wait_for(late.recv(), timeout=10)
+                assert err.value.rcvd.code == 1013
+                await asyncio.wait_for(server.wait_drained(), timeout=10)
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
+def test_serve_sigterm_drains_and_exits():
+    """End to end through serve(): SIGTERM mid-stream -> the one live
+    client gets its full transcript and a 4503 close, and serve() returns
+    within the grace period (the reference's Triton drains in-flight
+    sequences on exit, scripts/docker-compose.yml:24-31)."""
+    import os
+    import signal
+
+    cfg, variables = _tiny_setup()
+
+    async def main():
+        from tone_tpu.runtime.server import serve
+
+        engine = MultiStreamEngine(variables, cfg, n_slots=2)
+        port_box: asyncio.Queue = asyncio.Queue()
+        serve_task = asyncio.create_task(serve(
+            engine, "127.0.0.1", 0, metrics_port=None, drain_grace=30.0,
+            on_started=port_box.put_nowait))
+        try:
+            port = await asyncio.wait_for(port_box.get(), timeout=120)
+            client = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+            assert json.loads(await client.recv())["event"] == "ready"
+            rng = np.random.default_rng(0)
+            audio = rng.integers(-20000, 20000, 2400 * 4).astype("<i2")
+            await client.send(audio.tobytes())
+            os.kill(os.getpid(), signal.SIGTERM)
+            transcripts = []
+            with pytest.raises(websockets.ConnectionClosed) as err:
+                while True:
+                    msg = json.loads(
+                        await asyncio.wait_for(client.recv(), timeout=30))
+                    if msg["event"] == "transcript":
+                        transcripts.append(msg["text"])
+            assert err.value.rcvd.code == 4503
+            assert transcripts, "SIGTERM dropped the buffered audio"
+            await asyncio.wait_for(serve_task, timeout=30)
+        finally:
+            if not serve_task.done():
+                serve_task.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
 def test_metrics_expose_process_rss():
     """tone_process_rss_bytes makes the documented tunneled-backend RSS
     growth (docs/serving.md soak section) monitorable in deployments."""

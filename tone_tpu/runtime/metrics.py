@@ -26,6 +26,9 @@ class HealthState:
     * 503 until warmup completes (``warmed``);
     * 503 forever once the loop has FAILED (``fail(reason)`` — repeated tick
       exceptions; the server closes client sockets at the same time);
+    * 503 once the server is DRAINING (graceful shutdown: live streams are
+      flushing, new connections are refused — an orchestrator should route
+      traffic elsewhere while the grace period runs);
     * 503 when the loop stopped beating for ``stale_after`` seconds (a wedged
       device step or a dead task that never reached ``fail``);
     * 200 otherwise.
@@ -39,6 +42,7 @@ class HealthState:
     stale_after: float = 30.0  # generous: heavy flush ticks can take seconds
     warmed: bool = False
     failed: bool = False
+    draining: bool = False
     failed_reason: str = ""
     consecutive_failures: int = 0
     tick_failures_total: int = 0
@@ -61,6 +65,8 @@ class HealthState:
         """(http_status, body) for /healthz and /v2/health/ready."""
         if self.failed:
             return 503, f"failed: {self.failed_reason}\n"
+        if self.draining:
+            return 503, "draining: graceful shutdown in progress\n"
         if not self.warmed:
             return 503, "starting: warmup in progress\n"
         if self.last_beat is not None and \

@@ -35,10 +35,12 @@ logger = logging.getLogger("tone_tpu.server")
 _EOS = object()      # end-of-stream marker through a session's phrase queue
 _EVICTED = object()  # slot reclaimed (idle timeout / pressure) marker
 _FAILED = object()   # server entered FAILED state: close the socket
+_DRAIN = object()    # graceful shutdown: finalize the stream with what we have
 
-# Close codes (4xxx = application-defined per RFC 6455)
+# Close codes (4xxx = application-defined per RFC 6455, mirroring HTTP)
 CLOSE_EVICTED = 4408  # idle timeout / slot reclaimed — reconnect to resume
 CLOSE_FAILED = 4500   # server failure: transcription stopped, do not retry here
+CLOSE_SHUTDOWN = 4503  # graceful shutdown: transcript delivered in full first
 
 TICK_SECONDS = 0.06  # poll faster than real-time so queued chunks drain
 
@@ -68,6 +70,41 @@ class TranscriptionServer:
         self.failure_backoff = failure_backoff
         self._queues: dict[int, asyncio.Queue] = {}
         self._loop: asyncio.AbstractEventLoop | None = None
+        self._drain_event = asyncio.Event()
+
+    # -- graceful drain ------------------------------------------------------
+
+    @property
+    def draining(self) -> bool:
+        return self._drain_event.is_set()
+
+    def begin_drain(self) -> None:
+        """Start a graceful shutdown (the crash path's clean twin — Triton
+        drains in-flight sequences on exit, the liveness contract of the
+        reference's scripts/docker-compose.yml:24-31):
+
+        * ``health`` flips to 503 so an orchestrator routes traffic away;
+        * new connections are refused with 1013 (try again later — against a
+          healthy replica, unlike the permanent 4500 of the FAILED path);
+        * every live session stops reading audio, finalizes its stream with
+          the chunks it already buffered (exactly as if the client had sent
+          its end-of-stream frame), delivers the remaining final phrases,
+          and closes the socket with ``CLOSE_SHUTDOWN`` (4503).
+
+        The tick loop must keep running until the flush completes — use
+        ``wait_drained`` (``serve()`` bounds it with ``drain_grace``).
+        """
+        if self._drain_event.is_set():
+            return
+        self.health.draining = True
+        logger.info("draining: refusing new connections, flushing %d live "
+                    "stream(s)", len(self._queues))
+        self._drain_event.set()
+
+    async def wait_drained(self) -> None:
+        """Resolve once every live session has flushed and unregistered."""
+        while self._queues:
+            await asyncio.sleep(0.05)
 
     # -- tick loop ---------------------------------------------------------
 
@@ -142,6 +179,11 @@ class TranscriptionServer:
         if self.health.failed:
             await websocket.close(code=CLOSE_FAILED, reason="server failed")
             return
+        if self.draining:
+            # 1013 (try again later): the deployment's other replicas are
+            # healthy — unlike the FAILED path's do-not-retry 4500.
+            await websocket.close(code=1013, reason="server draining")
+            return
 
         from websockets.exceptions import ConnectionClosed
 
@@ -179,8 +221,24 @@ class TranscriptionServer:
                 else:
                     pending, buffered = [data], len(data)
 
+            drained_by_server = False
             try:
-                async for message in websocket:
+                while True:
+                    message = await self._recv_or_drain(websocket)
+                    if message is _DRAIN:
+                        # Graceful shutdown: stop reading audio and finalize
+                        # with what is already buffered, exactly as if the
+                        # client had sent its end-of-stream frame — the
+                        # engine then flushes this stream's final phrases.
+                        pending.append(np.zeros(config.padding, np.int16))
+                        flush_full_chunks(final=True)
+                        engine.close_stream(sid)
+                        drained_by_server = True
+                        break
+                    if message is None:
+                        # Clean client close without the empty frame (the
+                        # async-for loop used to exit here).
+                        break
                     if isinstance(message, str):
                         # Optional extension over the reference protocol
                         # (whose clients send binary only): a JSON text
@@ -252,10 +310,49 @@ class TranscriptionServer:
                 await asyncio.wait_for(sender, timeout=120)
             except asyncio.TimeoutError:
                 logger.warning("timed out flushing stream %d", sid)
+            if drained_by_server:
+                # Distinct close code: the transcript above is COMPLETE; the
+                # client should reconnect to another replica for new audio.
+                try:
+                    await websocket.close(
+                        code=CLOSE_SHUTDOWN,
+                        reason="server shutting down: transcript complete")
+                except ConnectionClosed:
+                    pass
         finally:
             engine.close(sid)
             self._queues.pop(sid, None)
             sender.cancel()
+
+    async def _recv_or_drain(self, websocket):
+        """One message from the socket, ``None`` on clean client close, or
+        ``_DRAIN`` the moment a graceful shutdown begins (a session mid-recv
+        must not wait for its client's next frame to notice the drain).
+        Abnormal closes raise ``ConnectionClosed`` like ``recv()`` does."""
+        from websockets.exceptions import ConnectionClosedOK
+
+        if self._drain_event.is_set():
+            return _DRAIN
+        recv = asyncio.ensure_future(websocket.recv())
+        drain = asyncio.ensure_future(self._drain_event.wait())
+        try:
+            await asyncio.wait({recv, drain},
+                               return_when=asyncio.FIRST_COMPLETED)
+        finally:
+            drain.cancel()
+        if recv.done():
+            try:
+                return recv.result()
+            except ConnectionClosedOK:
+                return None
+        recv.cancel()
+        try:
+            await recv
+        except asyncio.CancelledError:
+            pass
+        except Exception:  # noqa: BLE001 — a close racing the cancel
+            pass
+        return _DRAIN
 
     async def _send_loop(self, websocket, queue: asyncio.Queue) -> None:
         while True:
@@ -318,7 +415,23 @@ def _static_page_handler():
 
 
 async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 8080,
-                metrics_port: int | None = 8002):
+                metrics_port: int | None = 8002, drain_grace: float = 10.0,
+                on_started=None):
+    """Run the websocket server until SIGTERM/SIGINT, then drain gracefully.
+
+    The first signal starts a DRAIN (TranscriptionServer.begin_drain):
+    readiness flips 503, new connections are refused with 1013, and every
+    live stream flushes its buffered audio and final phrases before its
+    socket closes with 4503 — bounded by ``drain_grace`` seconds, after
+    which the server exits with whatever remains unflushed (logged).  A
+    second signal skips the rest of the grace period and exits immediately.
+
+    ``on_started`` (optional) is called with the bound port once the server
+    is accepting connections — embedders and tests bind port 0 and learn
+    the real port here.
+    """
+    import signal as _signal
+
     import websockets
 
     health = HealthState()
@@ -338,13 +451,52 @@ async def serve(engine: MultiStreamEngine, host: str = "0.0.0.0", port: int = 80
     await asyncio.to_thread(engine.warmup)
     health.warmed = True  # /v2/health/ready flips 503 -> 200 here
     tick_task = asyncio.create_task(server.tick_loop())
+
+    stop = asyncio.Event()
+
+    async def _drain_then_stop() -> None:
+        try:
+            await asyncio.wait_for(server.wait_drained(), timeout=drain_grace)
+            logger.info("drain complete: every live stream flushed")
+        except asyncio.TimeoutError:
+            logger.warning("drain grace (%.0fs) expired with %d stream(s) "
+                           "unflushed", drain_grace, len(server._queues))
+        stop.set()
+
+    def _on_signal(signame: str) -> None:
+        if server.draining or stop.is_set():
+            logger.warning("second %s during drain: exiting now", signame)
+            stop.set()
+            return
+        logger.info("%s: draining %d live stream(s), grace %.0fs "
+                    "(send again to skip)", signame, len(server._queues),
+                    drain_grace)
+        server.begin_drain()
+        asyncio.get_running_loop().create_task(_drain_then_stop())
+
+    loop = asyncio.get_running_loop()
+    handled_signals = []
+    for sig in (_signal.SIGINT, _signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, _on_signal, sig.name)
+            handled_signals.append(sig)
+        except (NotImplementedError, RuntimeError, ValueError):
+            pass  # non-main thread or platform without signal support
+
     async with websockets.serve(server.handle, host, port, max_size=2**22,
-                                process_request=_static_page_handler()):
+                                process_request=_static_page_handler()) as ws:
         logger.info("listening on ws://%s:%d/api/ws (browser client at /)",
                     host, port)
+        if on_started is not None:
+            on_started(ws.sockets[0].getsockname()[1])
         try:
-            await asyncio.Future()
+            await stop.wait()
         finally:
+            for sig in handled_signals:
+                try:
+                    loop.remove_signal_handler(sig)
+                except (NotImplementedError, RuntimeError, ValueError):
+                    pass
             tick_task.cancel()
             if metrics_server is not None:
                 metrics_server.shutdown()
