@@ -156,6 +156,187 @@ def test_engine_lifecycle_fuzz(tiny):
     engine.shutdown()
 
 
+def test_engine_lifecycle_fuzz_flagship_config(tiny):
+    """The SAME randomized lifecycle interleavings, but against the
+    flagship serving configuration: device-beam batched finals, interim
+    device beams, per-request hotwords and n-best overrides as fuzz ops.
+    The greedy fuzz above already paid for itself (freed-slot stall); this
+    one covers the interactions of the production path nobody targeted.
+
+    Extra invariants over the greedy fuzz:
+    * a reused/new/resumed slot's FIRST tick always resets its interim
+      beam-arena row (no beam state leaks across slot reuse);
+    * every batched device final equals a replay of its phrase on a
+      DEDICATED decoder built with that stream's hotword/n-best settings
+      (text and alternatives both).
+    """
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+    cfg, variables = tiny
+    rng = random.Random(20260820)
+    nprng = np.random.default_rng(2)
+    BEAM_W = 4
+    engine = MultiStreamEngine(
+        variables, cfg, n_slots=N_SLOTS,
+        decoder=DeviceBeamSearchCTCDecoder(beam_width=BEAM_W),
+        interim_device_beam=True, interim_beam_width=4,
+        final_decode_batch=4,
+        max_candidates=MAX_CANDIDATES, candidate_buffer_chunks=8,
+        idle_evict_seconds=3600.0, force_evict_grace=0.0,
+        hotword_warmup_buckets=())
+    # The lazy hotword warm compiles a full frame-bucket ladder per node
+    # bucket — perf infrastructure tested elsewhere (test_hotwords); no-op
+    # it here so the fuzz exercises semantics, not compiles.
+    engine._warm_decode_buckets = lambda *a, **k: None
+    n = cfg.audio_chunk_samples
+
+    # -- invariant hooks ----------------------------------------------------
+    captured: list[tuple] = []  # (future, logprobs, nbest, hotword key)
+    orig_decode_batch = engine._decode_batch
+
+    def capturing_decode_batch(items):
+        for fut, phrase, nb, hw in items:
+            captured.append((fut, np.array(phrase.logprobs, np.float32),
+                             nb, None if hw is None else id(hw)))
+        orig_decode_batch(items)
+
+    engine._decode_batch = capturing_decode_batch
+
+    orig_beam_tick = engine._tick_device_beams
+
+    def reset_checking_beam_tick(logprobs, ticking, by_slot, beam_reset):
+        for sid, stream, _ in ticking:
+            if stream.ticks == 0:  # first tick after open/bind/resume
+                assert beam_reset[stream.slot], (
+                    f"slot {stream.slot} reused without an interim beam "
+                    f"reset (sid {sid})")
+        return orig_beam_tick(logprobs, ticking, by_slot, beam_reset)
+
+    engine._tick_device_beams = reset_checking_beam_tick
+
+    HOTWORD_LISTS = [["мир"], ["дом", "лес"], ["привет"]]
+    hw_words: dict[int, tuple[list, float]] = {}  # id(tables) -> settings
+
+    live: set[int] = set()
+    opened: set[int] = set()
+    finished: set[int] = set()
+    evicted: set[int] = set()
+    suspended: set[int] = set()
+    snapshots: list[dict] = []
+    futures = []
+
+    def poll():
+        for sid in engine.pop_finished():
+            assert sid not in finished, "stream finished twice"
+            finished.add(sid)
+            live.discard(sid)
+        for sid in engine.pop_evicted():
+            assert sid not in evicted, "stream evicted twice"
+            assert sid not in finished, "finished stream evicted"
+            evicted.add(sid)
+            live.discard(sid)
+
+    def note_tables(sid, words, weight):
+        tables = engine._streams[sid].hotword_tables
+        if tables is not None:
+            hw_words[id(tables)] = (words, weight)
+
+    ops = ["open", "feed", "feed", "tick", "tick", "close",
+           "suspend", "resume", "hotwords", "nbest"]
+    for step in range(300):
+        op = rng.choice(ops)
+        try:
+            if op == "open":
+                sid = engine.open_stream()
+                live.add(sid)
+                opened.add(sid)
+            elif op == "feed" and live:
+                sid = rng.choice(sorted(live))
+                chunk = nprng.integers(-20000, 20000,
+                                       rng.randrange(1, n + 1)).astype(np.int16)
+                engine.feed(sid, chunk, is_last=rng.random() < 0.1)
+            elif op == "tick":
+                for sid, futs in engine.tick().items():
+                    futures.extend(futs)
+            elif op == "close" and live:
+                engine.close_stream(rng.choice(sorted(live)))
+            elif op == "suspend" and live:
+                sid = rng.choice(sorted(live))
+                snapshots.append(engine.suspend_stream(sid))
+                suspended.add(sid)
+                live.discard(sid)
+            elif op == "resume" and snapshots:
+                sid = engine.resume_stream(
+                    snapshots.pop(rng.randrange(len(snapshots))))
+                live.add(sid)
+                opened.add(sid)
+                if sid in engine._streams:  # re-applied biasing at resume
+                    s = engine._streams[sid]
+                    if s.hotwords:
+                        note_tables(sid, list(s.hotwords[0]), s.hotwords[1])
+            elif op == "hotwords" and live:
+                sid = rng.choice(sorted(live))
+                if rng.random() < 0.25:
+                    engine.set_stream_hotwords(sid, [])  # clear
+                else:
+                    words = rng.choice(HOTWORD_LISTS)
+                    engine.set_stream_hotwords(sid, words, 2.0)
+                    note_tables(sid, words, 2.0)
+            elif op == "nbest" and live:
+                sid = rng.choice(sorted(live))
+                engine.set_stream_nbest(sid, rng.choice([0, 2, 3]))
+        except UnknownStreamError:
+            pass  # stream ended (eviction/finish) before the op landed
+        except RuntimeError as e:
+            assert any(t in str(e) for t in (
+                "no free stream slots", "in flight", "waiting candidate",
+                "mid-suspend")), e
+        poll()
+        _check_invariants(engine)
+        # interims only ever surface for streams that were live this tick
+        assert not (set(engine.last_interims) - opened)
+
+    for sid in sorted(live):
+        engine.close_stream(sid)
+    for _ in range(200):
+        for sid, futs in engine.tick().items():
+            futures.extend(futs)
+        poll()
+        _check_invariants(engine)
+        if not live and not engine.has_backlog():
+            break
+    assert not live, f"streams never terminated: {live}"
+    assert opened == (finished | evicted | suspended)
+
+    for fut in futures:
+        phrase = fut.result(timeout=60) if hasattr(fut, "result") else fut
+        assert hasattr(phrase, "text")
+
+    engine.shutdown()
+
+    # -- replay: every batched final vs a dedicated decoder ------------------
+    assert captured, "fuzz never exercised the batched finals path"
+    assert any(hw is not None for _, _, _, hw in captured), \
+        "fuzz never exercised a biased batched final"
+    assert any(nb > 1 for _, _, nb, _ in captured), \
+        "fuzz never exercised an n-best batched final"
+    plain = DeviceBeamSearchCTCDecoder(beam_width=BEAM_W)
+    dedicated: dict = {None: plain}
+    for fut, logprobs, nb, hw_key in captured:
+        if hw_key not in dedicated:
+            words, weight = hw_words[hw_key]
+            dedicated[hw_key] = DeviceBeamSearchCTCDecoder(
+                beam_width=BEAM_W, hotwords=words, hotword_weight=weight)
+        dec = dedicated[hw_key]
+        got = fut.result(timeout=60)
+        if nb > 1:
+            expect = dec.nbest(logprobs, nb)
+            assert got.text == (expect[0][0] if expect else "")
+            assert list(got.nbest) == expect
+        else:
+            assert got.text == dec.forward(logprobs)
+
+
 def test_engine_fuzz_with_candidates_churn(tiny):
     """Heavier candidate pressure: more streams than slots+queue, constant
     feeding — exercises the buffer cap and force-evict paths."""

@@ -309,6 +309,118 @@ def test_per_request_hotwords_keep_fused_lm():
         engine.shutdown()
 
 
+def _tiny_device_engine(engine_hotwords=None, **engine_kwargs):
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from train_tiny_e2e import tiny_config
+
+    from tone_tpu.core.model import init_model_params
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+    from tone_tpu.runtime.engine import MultiStreamEngine
+
+    cfg = tiny_config()
+    dec = DeviceBeamSearchCTCDecoder(beam_width=8, hotwords=engine_hotwords)
+    return MultiStreamEngine(init_model_params(jax.random.PRNGKey(0), cfg),
+                             cfg, n_slots=2, decoder=dec, **engine_kwargs)
+
+
+def test_hotword_warm_targets_effective_bucket():
+    """When the ENGINE decoder has its own hotword tables with a larger
+    node count than a request's list, every mixed serving batch stacks at
+    the engine tables' bucket (unbiased rows inherit them in
+    _decode_bucket) — so the warm must compile THAT bucket, padded request
+    tables and all, or the first biased final pays the compile inline."""
+    from tone_tpu.ops.beam_decode import make_hotword_tables
+
+    # ~40 chars of engine-wide hotwords -> tables pad past any 1-word request
+    engine = _tiny_device_engine(
+        engine_hotwords=["туманное утро", "железная дорога", "перрон"])
+    try:
+        engine_bucket = int(engine.decoder.hotword_tables.next_node.shape[0])
+        small = make_hotword_tables(["мир"], 2.0)
+        small_bucket = int(small.next_node.shape[0])
+        assert small_bucket < engine_bucket  # the premise of the bug
+        assert engine._effective_hotword_bucket(small) == engine_bucket
+
+        warmed_with = []
+        engine._warm_decode_buckets = (  # record instead of compiling
+            lambda decoder, live=None, hotwords=None:
+                warmed_with.append(hotwords))
+        sid = engine.open_stream()
+        engine.set_stream_hotwords(sid, ["мир"], 2.0)
+        engine._decode_pool.shutdown(wait=True)  # flush the warm task
+        assert engine_bucket in engine._warmed_hotword_buckets
+        assert small_bucket not in engine._warmed_hotword_buckets
+        assert len(warmed_with) == 1
+        # the warm ran with the request tables PADDED to the serving bucket
+        assert int(warmed_with[0].next_node.shape[0]) == engine_bucket
+    finally:
+        engine.shutdown()
+
+
+def test_hotword_warm_failure_unmarks_bucket():
+    """A warm that dies (transient device error) must not permanently
+    disable warming for its bucket: the next same-sized request retries."""
+    engine = _tiny_device_engine()
+    try:
+        calls = {"n": 0}
+
+        def flaky_warm(decoder, live=None, hotwords=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected warm failure")
+
+        engine._warm_decode_buckets = flaky_warm
+        s1 = engine.open_stream()
+        engine.set_stream_hotwords(s1, ["мир"], 2.0)
+        # wait for the (failing) warm task without shutting the pool down
+        import time
+
+        for _ in range(200):
+            with engine._lock:
+                if not engine._warmed_hotword_buckets:
+                    break
+            time.sleep(0.01)
+        assert not engine._warmed_hotword_buckets  # un-marked on failure
+        s2 = engine.open_stream()
+        engine.set_stream_hotwords(s2, ["дом"], 2.0)  # same node bucket
+        engine._decode_pool.shutdown(wait=True)
+        assert calls["n"] == 2  # the second request retried the warm
+        assert engine._warmed_hotword_buckets  # and it stuck this time
+    finally:
+        engine.shutdown()
+
+
+def test_warmup_prewarms_hotword_buckets():
+    """warmup() compiles the per-request-biased program family for the
+    configured node buckets (default 32), so the FIRST biased request of a
+    warmed size triggers no lazy warm at all."""
+    engine = _tiny_device_engine(hotword_warmup_buckets=(32,))
+    try:
+        warmed_with = []
+        engine._warm_decode_buckets = (
+            lambda decoder, live=None, hotwords=None:
+                warmed_with.append(hotwords))
+        engine.arena.warmup = lambda: None  # not under test (slow)
+        engine.warmup()
+        assert 32 in engine._warmed_hotword_buckets
+        # one plain warm (hotwords=None) + one biased warm at bucket 32
+        assert [h.next_node.shape[0] for h in warmed_with
+                if h is not None] == [32]
+        # a typical 3-word request pads to exactly that bucket: no new warm
+        n_warms = len(warmed_with)
+        sid = engine.open_stream()
+        engine.set_stream_hotwords(sid, ["абонент", "тариф", "адрес"], 10.0)
+        engine._decode_pool.shutdown(wait=True)
+        assert len(warmed_with) == n_warms  # bucket already covered
+    finally:
+        engine.shutdown()
+
+
 def test_hotwords_reject_lone_string_and_clear():
     """A lone string is a type error everywhere (it would iterate into
     per-character hotwords); an empty list clears an engine override."""

@@ -168,6 +168,20 @@ def main() -> None:
                             "decoder; per-phrase decodes — a throughput cost "
                             "at arena scale.  Clients can instead opt in per "
                             "stream with a JSON config frame {'nbest': N})")
+    p_srv.add_argument("--hotword-warmup-buckets", type=int, nargs="*",
+                       default=[32], metavar="NODES",
+                       help="hotword-table node buckets (powers of two) "
+                            "whose per-request-biased decode programs are "
+                            "compiled during warmup, so the first biased "
+                            "request of that size pays no compile (default "
+                            "32 — typical short contact lists; pass every "
+                            "expected size, or nothing to skip)")
+    p_srv.add_argument("--drain-grace", type=float, default=10.0,
+                       help="graceful-shutdown budget: on SIGTERM/SIGINT the "
+                            "server refuses new connections and flushes every "
+                            "live stream's buffered audio + final phrases "
+                            "within this many seconds before exiting (a "
+                            "second signal exits immediately)")
     p_srv.add_argument("--max-candidates", type=int, default=4096,
                        help="streams accepted beyond --slots: they queue as "
                             "candidates (chunks buffer host-side) and bind "
@@ -338,9 +352,11 @@ def main() -> None:
             force_evict_grace=args.force_evict_grace,
             word_timestamps=args.word_times,
             nbest=args.nbest,
-            max_candidates=args.max_candidates)
+            max_candidates=args.max_candidates,
+            hotword_warmup_buckets=args.hotword_warmup_buckets)
         asyncio.run(serve(engine, args.host, args.port,
-                          metrics_port=args.metrics_port))
+                          metrics_port=args.metrics_port,
+                          drain_grace=args.drain_grace))
         return
 
     if args.command == "eval":

@@ -500,6 +500,22 @@ def make_hotword_tables(phrases, weight: float = 10.0,
                          np.float32(weight))
 
 
+def pad_hotword_tables(tables: HotwordTables, n_nodes: int) -> HotwordTables:
+    """Pad the node axis to ``n_nodes`` (new nodes park every transition, so
+    behavior is unchanged).  Used to warm the EXACT program shape a stacked
+    call will compile when rows of different node counts mix in one batch
+    (:func:`stack_hotword_tables` pads to the batch maximum)."""
+    n = int(tables.next_node.shape[0])
+    if n >= n_nodes:
+        return tables
+    pad = ((0, n_nodes - n), (0, 0))
+    return HotwordTables(
+        np.pad(tables.next_node, pad, constant_values=-1),
+        np.pad(tables.tent_after, pad),
+        np.pad(tables.delta, pad),
+        tables.weight)
+
+
 def stack_hotword_tables(rows: "list[HotwordTables | None]",
                          n_rows: int | None = None) -> HotwordTables:
     """Stack per-row tables into batched (B, n_nodes, n_char) tables so ONE

@@ -104,7 +104,8 @@ class MultiStreamEngine:
                  word_timestamps: bool = False,
                  nbest: int = 0,
                  max_candidates: int = 0,
-                 candidate_buffer_chunks: int = 200) -> None:
+                 candidate_buffer_chunks: int = 200,
+                 hotword_warmup_buckets=(32,)) -> None:
         """``interim_transcripts``: also decode each in-progress phrase
         incrementally; ``tick`` then reports partial text per stream (final
         phrases still use the configured decoder).  A capability the
@@ -166,7 +167,16 @@ class MultiStreamEngine:
         chunks (~300 ms each; 200 ≈ one minute of audio).  A candidate that
         feeds past it is dropped (UnknownStreamError + eviction notice) —
         without the cap, thousands of realtime candidates during sustained
-        slot contention would grow host memory without bound."""
+        slot contention would grow host memory without bound.
+
+        ``hotword_warmup_buckets``: hotword-table node buckets (powers of
+        two) whose stacked per-row-biased decode family ``warmup()``
+        precompiles, so the FIRST biased request of that size pays no
+        compile at all (set_stream_hotwords still warms unseen sizes
+        lazily, overlapped with the stream's early audio).  Default (32,)
+        covers typical short contact lists (a 3-word request pads to 32
+        nodes); pass every expected size for larger deployments, or an
+        empty tuple to skip (faster warmup).  Device-decoder engines only."""
         self.config = config
         self.arena = StreamArena(variables, config, n_slots, sharding=sharding)
         self.decoder = decoder
@@ -236,6 +246,8 @@ class MultiStreamEngine:
         # hotword-table node buckets whose stacked-program ladder was (or is
         # being) warmed — repeat request sizes skip straight to serving
         self._warmed_hotword_buckets: set[int] = set()
+        self._hotword_warmup_buckets = tuple(
+            int(b) for b in (hotword_warmup_buckets or ()) if int(b) > 0)
         self.last_interims: dict[int, str] = {}
         self.stats = EngineStats()
 
@@ -354,17 +366,20 @@ class MultiStreamEngine:
             stream.beam_reset = True
             stream.beam_frames.clear()
         if tables is not None:
-            # One warm per node bucket: the stacked program is keyed by the
-            # (power-of-two) node count, so the Nth same-sized request list
-            # has nothing left to compile — re-warming anyway was measured
-            # at 128 firehose streams / 32 biased to stretch flush p99 from
+            # One warm per EFFECTIVE node bucket: the stacked program is
+            # keyed by the (power-of-two) node count the serving call will
+            # actually stack — the max of this request's tables and the
+            # engine decoder's own fallback tables (unbiased rows inherit
+            # them in _decode_bucket).  The Nth same-sized request list has
+            # nothing left to compile — re-warming anyway was measured at
+            # 128 firehose streams / 32 biased to stretch flush p99 from
             # ~2.3 s to ~16 s purely in redundant pool+device round trips.
-            bucket = int(tables.next_node.shape[0])
+            bucket = self._effective_hotword_bucket(tables)
             with self._lock:
                 fresh = bucket not in self._warmed_hotword_buckets
                 self._warmed_hotword_buckets.add(bucket)
             if fresh:
-                self._decode_pool.submit(self._warm_hotword_bucket, sid,
+                self._decode_pool.submit(self._warm_hotword_bucket, bucket,
                                          tables)
 
     MAX_NBEST = 32
@@ -720,6 +735,28 @@ class MultiStreamEngine:
             # compile cache (tone_tpu.export.enable_compilation_cache) so
             # deployments pay it once ever.
             self._warm_decode_buckets(self.decoder)
+            # Pre-warm the per-request-hotword program family for expected
+            # node buckets (the plain buckets above get this treatment —
+            # biased requests deserve the same): shapes key the compiled
+            # programs, so a MINIMAL automaton padded to the bucket compiles
+            # exactly what a real request of that size will run.
+            from tone_tpu.ops.beam_decode import make_hotword_tables
+
+            for b in sorted(set(self._hotword_warmup_buckets)):
+                eff = self._effective_hotword_bucket(
+                    make_hotword_tables(("а",), pad_nodes=b))
+                with self._lock:
+                    if eff in self._warmed_hotword_buckets:
+                        continue
+                    self._warmed_hotword_buckets.add(eff)
+                try:
+                    self._warm_decode_buckets(
+                        self.decoder,
+                        hotwords=make_hotword_tables(("а",), pad_nodes=eff))
+                except Exception:
+                    with self._lock:
+                        self._warmed_hotword_buckets.discard(eff)
+                    raise
         if self.interim_device_beam:
             init, reset, advance, top = self._interim_beam_ops()
 
@@ -760,16 +797,36 @@ class MultiStreamEngine:
                 break
             t <<= 1
 
-    def _warm_hotword_bucket(self, sid: int, tables) -> None:
+    def _effective_hotword_bucket(self, tables) -> int:
+        """The node bucket a serving decode will ACTUALLY compile for a
+        request's tables: ``_decode_bucket`` stacks biased rows together
+        with unbiased rows, and unbiased rows inherit the engine decoder's
+        own hotword tables — so the stacked node count is the max of the
+        two (both already power-of-two padded; stack_hotword_tables pads
+        to the batch maximum)."""
+        bucket = int(tables.next_node.shape[0])
+        base = getattr(self.decoder, "hotword_tables", None)
+        if base is not None:
+            bucket = max(bucket, int(base.next_node.shape[0]))
+        return bucket
+
+    def _warm_hotword_bucket(self, bucket: int, tables) -> None:
         """Pool task: pre-compile the batched-finals programs for a
-        request's hotword-table node bucket so the stream's first final
-        phrase doesn't pay them inline.  The bucket is shared
-        infrastructure (later same-sized requests skip the warm), so it
-        runs to completion even if the requesting stream ends early."""
+        request's EFFECTIVE hotword node bucket (tables padded to it) so
+        the stream's first final phrase doesn't pay them inline.  The
+        bucket is shared infrastructure (later same-sized requests skip
+        the warm), so it runs to completion even if the requesting stream
+        ends early.  A failed warm un-marks the bucket so a later
+        same-sized request retries instead of paying the compile inline
+        forever."""
         try:
-            self._warm_decode_buckets(self.decoder, hotwords=tables)
+            from tone_tpu.ops.beam_decode import pad_hotword_tables
+
+            self._warm_decode_buckets(
+                self.decoder, hotwords=pad_hotword_tables(tables, bucket))
         except Exception:  # noqa: BLE001 — warm is best-effort; real decodes
-            pass           # surface their own errors through phrase futures
+            with self._lock:  # surface their own errors through futures
+                self._warmed_hotword_buckets.discard(bucket)
 
     def _interim_beam_ops(self):
         """(init, reset, advance, top_tokens) for the interim device arena —
