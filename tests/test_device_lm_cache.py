@@ -77,17 +77,43 @@ def test_probing_lm_cache_roundtrip(probing_path, monkeypatch):
         first.score(("<s>",), first.binary.words[1]))
 
 
-def test_cache_keyed_by_content(arpa_path):
+def test_cache_keyed_by_content_and_stale_evicted(arpa_path):
     DeviceLM.from_file(arpa_path)
-    # Rewriting the artifact with different content invalidates the key:
-    # a new cache entry appears instead of the stale one being reused.
+    # Rewriting the artifact with different content invalidates the key: a
+    # new cache entry replaces the stale one (each entry is comparable in
+    # size to the artifact, so rewrites must not accumulate dead tables on
+    # long-lived model volumes).
     from tone_tpu.decoding.estimate import write_arpa
 
     ngrams, _ = _corpus_lm(seed=3, n_words=10)
     write_arpa(ngrams, arpa_path)
     relearned = DeviceLM.from_file(arpa_path)
-    assert len(list(arpa_path.parent.glob("*.device-lm.v*.npz"))) == 2
+    assert len(list(arpa_path.parent.glob("*.device-lm.v*.npz"))) == 1
     assert relearned.n_words == len({w for (w,) in ngrams[0]})
+    # and the surviving entry is the NEW one: a reload is a cache hit
+    reloaded = DeviceLM.from_file(arpa_path)
+    assert reloaded.n_words == relearned.n_words
+
+
+def test_cache_hit_skips_hashing_when_stat_unchanged(arpa_path, monkeypatch):
+    """The stat (size, mtime_ns) fast path: an unchanged artifact loads
+    from cache without re-reading+hashing the whole file (seconds per
+    server start for a multi-GB probing binary)."""
+    first = DeviceLM.from_file(arpa_path)
+    monkeypatch.setattr(dlm, "_artifact_digest", lambda path: pytest.fail(
+        "stat fast path missed: full-file digest computed on a cache hit"))
+    second = DeviceLM.from_file(arpa_path)
+    np.testing.assert_array_equal(first.keys1, second.keys1)
+    # a touched artifact falls back to the digest check (and still hits)
+    import os
+
+    monkeypatch.undo()  # restore the real digest function
+    st = os.stat(arpa_path)
+    os.utime(arpa_path, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    monkeypatch.setattr(DeviceLM, "from_ngrams", classmethod(
+        lambda cls, ngrams: pytest.fail("digest fallback missed the cache")))
+    third = DeviceLM.from_file(arpa_path)
+    np.testing.assert_array_equal(first.keys1, third.keys1)
 
 
 def test_corrupt_cache_rebuilds(arpa_path):

@@ -38,6 +38,7 @@ right class for any LM artifact.
 from __future__ import annotations
 
 import os
+import zipfile
 from dataclasses import dataclass, fields
 from pathlib import Path
 
@@ -81,19 +82,74 @@ def _cache_candidates(path, digest: str, kind: str) -> list[Path]:
     return [p.parent / name, cache_root / "tone_tpu" / "device-lm" / name]
 
 
+def _strip_meta(z) -> dict:
+    return {k: v for k, v in z.items() if not k.startswith("__src_")}
+
+
 def _cache_load(path, digest: str, kind: str) -> "dict | None":
     for cand in _cache_candidates(path, digest, kind):
         if cand.exists():
             try:
                 with np.load(cand, allow_pickle=False) as z:
-                    return dict(z.items())
-            except (OSError, ValueError):
+                    return _strip_meta(z)
+            except (OSError, ValueError, zipfile.BadZipFile):
                 continue  # corrupt/truncated cache: rebuild
     return None
 
 
+def _cache_load_statmatch(path, kind: str) -> "dict | None":
+    """Stat fast path: an existing cache entry for this artifact whose
+    recorded (size, mtime_ns) matches the file skips the full-content
+    digest — for a multi-GB probing binary that is seconds of read+hash
+    I/O per server start.  Any stat difference (artifact copied, touched,
+    rewritten) falls back to the digest-keyed lookup, so correctness never
+    rests on mtime."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    p = Path(path)
+    pattern = f"{p.name}.{kind}.v{_CACHE_LAYOUT}.*.npz"
+    cache_root = Path(os.environ.get("XDG_CACHE_HOME",
+                                     Path.home() / ".cache"))
+    for d in (p.parent, cache_root / "tone_tpu" / "device-lm"):
+        try:
+            cands = sorted(d.glob(pattern))
+        except OSError:
+            continue
+        for cand in cands:
+            try:
+                with np.load(cand, allow_pickle=False) as z:
+                    if ("__src_size__" in z.files
+                            and int(z["__src_size__"]) == st.st_size
+                            and int(z["__src_mtime_ns__"]) == st.st_mtime_ns):
+                        return _strip_meta(z)
+            except (OSError, ValueError, zipfile.BadZipFile):
+                continue
+    return None
+
+
 def _cache_save(path, digest: str, kind: str, arrays: dict) -> None:
-    for cand in _cache_candidates(path, digest, kind):
+    p = Path(path)
+    try:
+        st = os.stat(path)
+        arrays = dict(arrays, __src_size__=np.int64(st.st_size),
+                      __src_mtime_ns__=np.int64(st.st_mtime_ns))
+    except OSError:
+        pass  # artifact gone mid-build: cache without the stat fast path
+    targets = _cache_candidates(path, digest, kind)
+    # Evict stale siblings first (older digests or layout versions of the
+    # SAME artifact, in both candidate locations): each entry is comparable
+    # in size to the artifact, so rewriting an LM in place must not leave
+    # the previous table set on disk forever.
+    for cand in targets:
+        try:
+            for old in cand.parent.glob(f"{p.name}.{kind}.v*.npz"):
+                if old.name != cand.name:
+                    old.unlink()
+        except OSError:
+            pass
+    for cand in targets:
         try:
             cand.parent.mkdir(parents=True, exist_ok=True)
             tmp = cand.with_suffix(f".tmp{os.getpid()}")
@@ -418,13 +474,18 @@ class DeviceLM:
         dispatches on the artifact for you.
 
         The built tables are cached on disk keyed by artifact digest +
-        layout version (see module docs); ``cache=False`` (or env
-        ``TONE_TPU_LM_CACHE=0``) forces a rebuild."""
+        layout version (see module docs), with a (size, mtime_ns) stat
+        fast path that skips re-hashing an unchanged artifact;
+        ``cache=False`` (or env ``TONE_TPU_LM_CACHE=0``) forces a
+        rebuild."""
         if cache is None:
             cache = _cache_enabled()
-        digest = _artifact_digest(path) if cache else ""
+        digest = ""
         if cache:
-            z = _cache_load(path, digest, "device-lm")
+            z = _cache_load_statmatch(path, "device-lm")
+            if z is None:
+                digest = _artifact_digest(path)
+                z = _cache_load(path, digest, "device-lm")
             if z is not None:
                 return cls(
                     order=int(z["order"]), unk_id=int(z["unk_id"]),
@@ -451,6 +512,8 @@ class DeviceLM:
                     "tables via DeviceProbingLM)")
             built = cls.from_ngrams(trie_to_ngrams(lm))
         if cache:
+            if not digest:
+                digest = _artifact_digest(path)
             _cache_save(path, digest, "device-lm", dict(
                 order=built.order, unk_id=built.unk_id, bos_id=built.bos_id,
                 n_words=built.n_words, words=np.asarray(built.words),
@@ -591,9 +654,12 @@ class DeviceProbingLM:
                 "or n-best rescoring instead")
         if cache is None:
             cache = _cache_enabled()
-        digest = _artifact_digest(path) if cache else ""
+        digest = ""
         if cache:
-            z = _cache_load(path, digest, "device-probing-lm")
+            z = _cache_load_statmatch(path, "device-probing-lm")
+            if z is None:
+                digest = _artifact_digest(path)
+                z = _cache_load(path, digest, "device-probing-lm")
             if z is not None:
                 return cls(
                     order=p.order, unk_id=0, bos_id=binary.word_id("<s>"),
@@ -629,6 +695,8 @@ class DeviceProbingLM:
             if w not in ("<s>", "</s>", "<unk>"))
 
         if cache:
+            if not digest:
+                digest = _artifact_digest(path)
             _cache_save(path, digest, "device-probing-lm", dict(
                 keys1=keys1, keys2=keys2, probs=probs, backoffs=backoffs,
                 edge_keys=edge_keys, edge_child=edge_child,
