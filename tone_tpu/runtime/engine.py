@@ -308,14 +308,17 @@ class MultiStreamEngine:
         """Per-REQUEST contextual biasing: this stream's final phrases (and
         its carried interim search, if interim_beam) decode with the given
         hotwords — e.g. the contact names of one call.  With a device
-        engine decoder the override is a device decoder too, sharing the
-        engine LM's device-resident tables (hotword tables are jit
-        ARGUMENTS padded to power-of-two node counts, so same-size request
-        lists reuse compiled programs) — fused-LM quality is kept for the
-        biased stream; it decodes per-phrase beside the other streams'
-        batched call.  With a host engine decoder the override is a host
-        beam reusing its LM.  An empty/None list CLEARS an earlier override
-        (back to the engine-wide decoder).
+        engine decoder the bias is pure DATA: the request's automaton
+        tables become one row of the tick's batched finals call (stacked
+        per-row tables, jit ARGUMENTS padded to power-of-two node counts,
+        so same-size request lists reuse compiled programs) — fused-LM
+        quality kept, batched throughput kept.  A list so large that
+        stacking it would blow the per-tick upload budget
+        (MAX_STACKED_HOTWORD_BYTES) instead gets a per-stream device
+        decoder override sharing the engine LM (per-phrase decodes).  With
+        a host engine decoder the override is a host beam reusing its LM.
+        An empty/None list CLEARS an earlier override (back to the
+        engine-wide decoder).
         """
         override = None
         tables = None
@@ -341,6 +344,21 @@ class MultiStreamEngine:
                 from tone_tpu.ops.beam_decode import make_hotword_tables
 
                 tables = make_hotword_tables(hotwords, hotword_weight)
+                if self._stacked_hotword_bytes(tables) > \
+                        self.MAX_STACKED_HOTWORD_BYTES:
+                    # Pathologically large list: stacking it would upload
+                    # final_decode_batch x nodes x chars tables (x3) per
+                    # batched call — tens of MB per tick, which over a
+                    # tunneled link dominates the latency the batched path
+                    # exists to remove.  Fall back to a per-stream DEVICE
+                    # decoder override (single-table programs, per-phrase
+                    # decodes on the pool) sharing the engine decoder's LM.
+                    override = DeviceBeamSearchCTCDecoder(
+                        base._lm, alpha=base.alpha, beta=base.beta,
+                        beam_width=base.beam_width, nbest=base.nbest_hyps,
+                        max_len=base.max_len, fusion=base.fusion,
+                        hotwords=hotwords, hotword_weight=hotword_weight)
+                    tables = None
             else:
                 lm = getattr(base, "_lm", None)
                 host_lm = lm if isinstance(lm, LanguageModel) else None
@@ -796,6 +814,22 @@ class MultiStreamEngine:
             if t >= max_frames:
                 break
             t <<= 1
+
+    # Cap on the stacked per-row hotword tables a batched finals call may
+    # upload (3 tables x final_decode_batch x nodes x chars; int32/f32).
+    # Typical contact lists stack to single-digit MB; a multi-thousand-node
+    # list would push the per-tick upload toward 100 MB, so such requests
+    # fall back to a per-stream device-decoder override instead
+    # (set_stream_hotwords) — correctness identical, per-phrase throughput.
+    MAX_STACKED_HOTWORD_BYTES = 32 * 1024 * 1024
+
+    def _stacked_hotword_bytes(self, tables) -> int:
+        """Bytes a batched finals call would upload if this request's
+        tables ride the stacked path (at the effective node bucket)."""
+        batch = getattr(self.decoder, "max_batch", None) or 1
+        n_nodes = self._effective_hotword_bucket(tables)
+        n_char = int(tables.next_node.shape[1])
+        return 3 * 4 * batch * n_nodes * n_char
 
     def _effective_hotword_bucket(self, tables) -> int:
         """The node bucket a serving decode will ACTUALLY compile for a
