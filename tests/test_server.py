@@ -142,6 +142,43 @@ def _tiny_setup():
     return cfg, init_model_params(jax.random.PRNGKey(0), cfg)
 
 
+def test_clean_close_without_eos_releases_slot_promptly():
+    """A client that closes the websocket cleanly WITHOUT the protocol's
+    empty end-of-stream frame must release its slot immediately — nothing
+    can be delivered after the close handshake, so holding the slot for the
+    flush timeout (waiting for an EOS that never comes) starves newcomers.
+    The reference drops pipeline state the same way when its receive raises
+    on disconnect (demo/website.py get_chunk_stream)."""
+    cfg, variables = _tiny_setup()
+
+    async def main():
+        engine = MultiStreamEngine(variables, cfg, n_slots=2)
+        server = TranscriptionServer(engine, tick_seconds=0.02)
+        tick = asyncio.create_task(server.tick_loop())
+        try:
+            async with websockets.serve(server.handle, "127.0.0.1", 0) as ws:
+                port = ws.sockets[0].getsockname()[1]
+                client = await websockets.connect(f"ws://127.0.0.1:{port}/api/ws")
+                assert json.loads(await client.recv())["event"] == "ready"
+                rng = np.random.default_rng(0)
+                audio = rng.integers(-20000, 20000, 2400 * 4).astype("<i2")
+                await client.send(audio.tobytes())
+                # Let the server ingest the frame, then close cleanly with
+                # no b"" end-of-stream frame.
+                await asyncio.sleep(0.1)
+                await client.close()  # clean close handshake (code 1000)
+                deadline = asyncio.get_running_loop().time() + 5.0
+                while server._queues or engine._streams:
+                    assert asyncio.get_running_loop().time() < deadline, \
+                        "slot still held after a clean no-EOS close"
+                    await asyncio.sleep(0.05)
+        finally:
+            tick.cancel()
+            engine.shutdown()
+
+    asyncio.run(main())
+
+
 def test_tick_failure_transient_recovers():
     """Fault injection: one tick raises -> the supervisor logs, backs off,
     retries, and the client still gets its transcript.  Health ends 200."""

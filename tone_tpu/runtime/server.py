@@ -236,9 +236,15 @@ class TranscriptionServer:
                         drained_by_server = True
                         break
                     if message is None:
-                        # Clean client close without the empty frame (the
-                        # async-for loop used to exit here).
-                        break
+                        # Clean client close WITHOUT the protocol's empty
+                        # end-of-stream frame: nothing more can be delivered
+                        # (the close handshake already completed), so drop
+                        # the stream now — the reference does the same when
+                        # its receive raises on disconnect (demo/website.py
+                        # get_chunk_stream).  Waiting on the sender here
+                        # would hold the slot for the full flush timeout
+                        # waiting for an EOS marker that never comes.
+                        return
                     if isinstance(message, str):
                         # Optional extension over the reference protocol
                         # (whose clients send binary only): a JSON text
