@@ -19,6 +19,16 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _clean_build_residue():
+    # setuptools reuses stale ``build/lib`` contents in later wheels and the
+    # residue double-counts the package in line counts — scrub it both
+    # before the build (correctness) and after (tree hygiene, `make clean`).
+    import shutil
+
+    for d in (REPO / "build", REPO / "tone_tpu.egg-info"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def wheel(tmp_path_factory):
     # The prebuilt native libraries are deliberately NOT tracked in git
@@ -30,10 +40,14 @@ def wheel(tmp_path_factory):
     assert build_decode(), "g++ build of libtone_decode.so failed"
     assert build_estimate(), "g++ build of libtone_estimate.so failed"
     out = tmp_path_factory.mktemp("wheel")
-    subprocess.run(
-        [sys.executable, "-m", "pip", "wheel", "--no-deps",
-         "--no-build-isolation", "-w", str(out), str(REPO)],
-        check=True, capture_output=True, text=True)
+    _clean_build_residue()
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "pip", "wheel", "--no-deps",
+             "--no-build-isolation", "-w", str(out), str(REPO)],
+            check=True, capture_output=True, text=True)
+    finally:
+        _clean_build_residue()
     wheels = list(out.glob("tone_tpu-*.whl"))
     assert len(wheels) == 1, wheels
     return wheels[0]
