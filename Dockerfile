@@ -17,7 +17,8 @@ FROM python:3.11-slim AS build
 
 RUN pip install --no-cache-dir build
 
-COPY pyproject.toml README.md /workspace/
+# LICENSE is read at wheel-build time (pyproject `license = {file = ...}`).
+COPY pyproject.toml README.md LICENSE /workspace/
 COPY tone_tpu /workspace/tone_tpu
 
 WORKDIR /workspace
